@@ -1,0 +1,34 @@
+from burn_ppo_tpu.envs.base import Environment, EnvSpec
+
+_REGISTRY = {}
+
+
+def register(name: str, factory):
+    _REGISTRY[name] = factory
+
+
+def make_env(name: str, **kwargs) -> Environment:
+    """Instantiate an environment by name (reference envs/mod.rs dispatch)."""
+    # Import lazily so each env module registers itself.
+    from burn_ppo_tpu.envs import cartpole  # noqa: F401
+
+    try:
+        from burn_ppo_tpu.envs import connect_four  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from burn_ppo_tpu.envs import liars_dice  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from burn_ppo_tpu.envs import skull  # noqa: F401
+    except ImportError:
+        pass
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"Unknown environment '{name}'. Available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name](**kwargs)
+
+
+__all__ = ["Environment", "EnvSpec", "make_env", "register"]

@@ -1,0 +1,193 @@
+"""Environment abstraction: pure-functional games stepped on-device.
+
+The reference's `Environment` trait (src/env.rs:24-173) is a mutable
+object stepped by a rayon thread pool on CPU, crossing the host<->device
+boundary twice per step.  Here an environment is a set of *pure
+functions* over an immutable state pytree:
+
+    reset(key)        -> state
+    step(state, a)    -> state       (state carries rewards/done emitted)
+    obs(state)        -> f32[obs_dim]
+    action_mask(state)-> bool[A]
+    ...
+
+All functions are written for a *single* environment and vectorized with
+`jax.vmap` by the rollout layer, so the entire vec-env lives in HBM and
+steps inside the jitted rollout scan.  Stochasticity (resets, dice) flows
+through a PRNG key stored in the state.
+
+Auto-reset (the reference's VecEnv, src/env.rs:267-488) is the
+`autoreset_step` function below: terminal info (episode rewards, length,
+game outcome placements) is captured from the terminal state *before* the
+reset state replaces it — same ordering as the reference's capture of
+`game_outcome()` before reset (env.rs:442-451).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+State = Any
+
+
+@dataclass(frozen=True)
+class EnvSpec:
+    """Static environment description.
+
+    Mirrors the reference trait's associated consts (src/env.rs:26-76).
+    """
+
+    name: str
+    obs_dim: int
+    num_actions: int
+    num_players: int = 1
+    obs_shape: Optional[Tuple[int, int, int]] = None  # (H, W, C) for CNN
+    privileged_obs_dim: Optional[int] = None  # CTDE critic input (padded)
+    eval_temp: float = 1.0
+    # (move_number, temp) — after move_number, eval temperature switches
+    eval_temp_cutoff: Optional[Tuple[int, float]] = None
+    variable_player_count: bool = False
+    max_episode_steps: Optional[int] = None
+
+
+class Environment:
+    """Base class: subclasses provide pure functions over their state."""
+
+    spec: EnvSpec
+
+    # -- core ----------------------------------------------------------
+    def reset(self, key: jax.Array) -> State:
+        raise NotImplementedError
+
+    def step(self, state: State, action: jax.Array) -> State:
+        """Apply ``action`` for the current player; returns the new state.
+
+        The new state must expose ``rewards`` (f32[P], rewards emitted by
+        this step), ``done`` (bool), and ``step_idx`` (i32).
+        """
+        raise NotImplementedError
+
+    def obs(self, state: State) -> jax.Array:
+        raise NotImplementedError
+
+    # -- optional surface ------------------------------------------------
+    def action_mask(self, state: State) -> jax.Array:
+        """bool[A]; True = legal. Default: everything legal."""
+        return jnp.ones((self.spec.num_actions,), dtype=jnp.bool_)
+
+    def current_player(self, state: State) -> jax.Array:
+        return jnp.zeros((), dtype=jnp.int32)
+
+    def privileged_obs(self, state: State) -> jax.Array:
+        raise NotImplementedError(
+            f"{self.spec.name} does not provide privileged observations"
+        )
+
+    def game_outcome(self, state: State) -> jax.Array:
+        """Final placements i32[P] (1-indexed, 1 = winner; ties share a
+        placement — '1224' competition ranking, src/env.rs:21). Valid only
+        when ``state.done``; single-player envs return all-ones."""
+        return jnp.ones((self.spec.num_players,), dtype=jnp.int32)
+
+    def active_player_count(self, state: State) -> jax.Array:
+        """Number of players actually in this episode (variable-count games)."""
+        return jnp.asarray(self.spec.num_players, dtype=jnp.int32)
+
+    # -- reward shaping hook (Liar's Dice / Skull survival bonuses) -----
+    def set_reward_shaping(self, coef: float) -> "Environment":
+        """Return an env configured with a shaping coefficient; the value is
+        fed per-update as a traced scalar via state, so the default is a
+        no-op."""
+        return self
+
+    # -- human-facing helpers (eval/watch/interactive parity) -----------
+    def render(self, state: State) -> Optional[str]:
+        return None
+
+    def describe_action(self, action: int) -> str:
+        return f"Action {action}"
+
+    def parse_action(self, text: str) -> int:
+        return int(text.strip())
+
+
+class EpisodeLog(struct.PyTreeNode):
+    """Per-step episode-completion record emitted by autoreset_step.
+
+    ``completed`` flags rows where an episode finished at this step; the
+    other fields are only meaningful there.
+    """
+
+    completed: jax.Array  # bool
+    total_rewards: jax.Array  # f32[P] summed over the episode
+    length: jax.Array  # i32
+    outcome: jax.Array  # i32[P] placements (1-indexed)
+    active_players: jax.Array  # i32
+
+
+class EpisodeAccumulator(struct.PyTreeNode):
+    """Running per-env episode accumulators carried through the rollout scan."""
+
+    reward_sum: jax.Array  # f32[P]
+    length: jax.Array  # i32
+
+    @staticmethod
+    def zero(num_players: int) -> "EpisodeAccumulator":
+        return EpisodeAccumulator(
+            reward_sum=jnp.zeros((num_players,), dtype=jnp.float32),
+            length=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+def tree_select(pred: jax.Array, on_true: State, on_false: State) -> State:
+    """Elementwise select between two identically-shaped pytrees."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            pred.reshape(pred.shape + (1,) * (a.ndim - pred.ndim)), a, b
+        ),
+        on_true,
+        on_false,
+    )
+
+
+def autoreset_step(
+    env: Environment,
+    state: State,
+    acc: EpisodeAccumulator,
+    action: jax.Array,
+    reset_key: jax.Array,
+) -> Tuple[State, EpisodeAccumulator, State, EpisodeLog]:
+    """Step one env with auto-reset.
+
+    Returns (next_state_after_autoreset, next_acc, terminal_state, log).
+    ``terminal_state`` is the pre-reset stepped state — rewards/done are
+    read from it; on done the outcome is captured from it before the
+    reset state replaces it.
+    """
+    stepped = env.step(state, action)
+    done = stepped.done
+    rewards = stepped.rewards
+
+    new_sum = acc.reward_sum + rewards
+    new_len = acc.length + 1
+
+    log = EpisodeLog(
+        completed=done,
+        total_rewards=new_sum,
+        length=new_len,
+        outcome=env.game_outcome(stepped),
+        active_players=env.active_player_count(stepped),
+    )
+
+    fresh = env.reset(reset_key)
+    next_state = tree_select(done, fresh, stepped)
+    next_acc = EpisodeAccumulator(
+        reward_sum=jnp.where(done, jnp.zeros_like(new_sum), new_sum),
+        length=jnp.where(done, jnp.zeros_like(new_len), new_len),
+    )
+    return next_state, next_acc, stepped, log

@@ -1,0 +1,293 @@
+"""PPO update: scanned minibatch loop around `jax.value_and_grad`.
+
+Behavioral parity with the reference's `ppo_update` (src/ppo.rs:1661-2112):
+
+  * PopArt stats update + value-head rescale before the epochs
+    (ppo.rs:1787-1808);
+  * per-epoch shuffle, minibatch loop, per-minibatch advantage
+    normalization (ppo.rs:1915-1917);
+  * clipped surrogate + optional value clip + entropy bonus
+    (ppo.rs:1385-1502);
+  * Adam with global-norm gradient clipping (AdamConfig w/ Norm clipping,
+    src/main.rs:264-268), applied per minibatch;
+  * KL early stop: after a minibatch whose approx_kl exceeds target_kl,
+    all remaining minibatches AND epochs are skipped (ppo.rs:2019-2023)
+    — implemented with a `stop` flag + `lax.cond` so shapes stay static;
+  * metrics averaged over the minibatches actually processed.
+
+Where the reference gathers valid (learner-turn) samples into a smaller
+dynamic batch (ppo.rs:1694-1727), we keep the full static-size batch and
+weight every reduction by the valid mask — identical math, static shapes,
+no host round trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from burn_ppo_tpu.models.network import ActorCriticNetwork
+from burn_ppo_tpu.ops.categorical import (
+    apply_action_mask,
+    entropy_categorical,
+    log_prob_categorical,
+)
+from burn_ppo_tpu.ops.gae import compute_explained_variance
+from burn_ppo_tpu.ppo.normalization import (
+    PopArtState,
+    popart_normalize,
+    popart_rescale_value_head,
+    popart_update,
+)
+
+
+@dataclass(frozen=True)
+class PPOUpdateConfig:
+    clip_epsilon: float = 0.2
+    clip_value: bool = False
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    num_epochs: int = 4
+    num_minibatches: int = 4
+    target_kl: Optional[float] = None
+    adam_epsilon: float = 1e-5
+    normalize_values: bool = False  # PopArt
+
+
+def make_optimizer(cfg: PPOUpdateConfig) -> optax.GradientTransformation:
+    """Global-norm clip -> Adam direction. The learning rate is applied
+    manually per step so it can be a traced scalar from the schedule
+    without retracing."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.scale_by_adam(eps=cfg.adam_epsilon),
+    )
+
+
+def _wmean(x: jax.Array, w: jax.Array) -> jax.Array:
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def _wstd(x: jax.Array, w: jax.Array) -> jax.Array:
+    m = _wmean(x, w)
+    return jnp.sqrt(_wmean(jnp.square(x - m), w))
+
+
+METRIC_KEYS = (
+    "policy_loss",
+    "value_loss",
+    "entropy",
+    "approx_kl",
+    "clip_fraction",
+    "total_loss",
+    "value_mean",
+    "returns_mean",
+    "adv_mean_raw",
+    "adv_std_raw",
+    "value_error_mean",
+    "value_error_std",
+    "avg_valid_actions",
+    "entropy_valid_pct",
+)
+
+
+def _minibatch_loss(
+    params,
+    network: ActorCriticNetwork,
+    mb: Dict[str, jax.Array],
+    popart: Optional[PopArtState],
+    ent_coef: jax.Array,
+    cfg: PPOUpdateConfig,
+):
+    """Scalar loss + metric aux for one minibatch (ppo.rs:1385-1502)."""
+    w = mb["valid"]
+    logits, values = network.policy_and_value(
+        params, mb["obs"], mb.get("privileged_obs")
+    )
+
+    mask = mb.get("action_masks")
+    masked_logits = apply_action_mask(logits, mask)
+    new_log_probs = log_prob_categorical(masked_logits, mb["actions"])
+    entropy = entropy_categorical(masked_logits)
+
+    log_ratio = new_log_probs - mb["old_log_probs"]
+    ratio = jnp.exp(log_ratio)
+
+    # Per-minibatch advantage normalization over valid samples.
+    adv = mb["advantages"]
+    adv_mean = _wmean(adv, w)
+    adv_std = _wstd(adv, w)
+    adv_n = (adv - adv_mean) / (adv_std + 1e-8)
+
+    # Clipped surrogate: max(-A*r, -A*clip(r)).
+    pl1 = -adv_n * ratio
+    pl2 = -adv_n * jnp.clip(ratio, 1.0 - cfg.clip_epsilon, 1.0 + cfg.clip_epsilon)
+    policy_loss = _wmean(jnp.maximum(pl1, pl2), w)
+
+    # Value loss on the PopArt-normalized scale when enabled.
+    returns = mb["returns"]
+    old_values = mb["old_values"]
+    if popart is not None:
+        returns = popart_normalize(popart, returns)
+        old_values = popart_normalize(popart, old_values)
+    if cfg.clip_value:
+        v_clipped = old_values + jnp.clip(
+            values - old_values, -cfg.clip_epsilon, cfg.clip_epsilon
+        )
+        vl = jnp.maximum(
+            jnp.square(values - returns), jnp.square(v_clipped - returns)
+        )
+        value_loss = 0.5 * _wmean(vl, w)
+    else:
+        value_loss = 0.5 * _wmean(jnp.square(values - returns), w)
+
+    entropy_mean = _wmean(entropy, w)
+    loss = policy_loss + value_loss * cfg.value_coef - entropy_mean * ent_coef
+
+    # ---- metrics (ppo.rs:1510-1594) ----------------------------------
+    approx_kl = _wmean((ratio - 1.0) - log_ratio, w)
+    clip_fraction = _wmean(
+        (jnp.abs(ratio - 1.0) > cfg.clip_epsilon).astype(jnp.float32), w
+    )
+    value_errors = jnp.abs(values - returns)
+    aux = {
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy_mean,
+        "approx_kl": approx_kl,
+        "clip_fraction": clip_fraction,
+        "total_loss": loss,
+        "value_mean": _wmean(values, w),
+        "returns_mean": _wmean(returns, w),
+        "adv_mean_raw": adv_mean,
+        "adv_std_raw": adv_std,
+        "value_error_mean": _wmean(value_errors, w),
+        "value_error_std": _wstd(value_errors, w),
+    }
+    if mask is not None:
+        valid_counts = jnp.sum(mask, axis=-1)
+        aux["avg_valid_actions"] = _wmean(valid_counts, w)
+        has_choice = (valid_counts > 1.0).astype(jnp.float32) * w
+        max_ent = jnp.log(jnp.maximum(valid_counts, 1.0 + 1e-8))
+        aux["entropy_valid_pct"] = jnp.sum(
+            entropy / jnp.maximum(max_ent, 1e-8) * has_choice
+        ) / jnp.maximum(jnp.sum(has_choice), 1e-8)
+    else:
+        aux["avg_valid_actions"] = jnp.zeros(())
+        aux["entropy_valid_pct"] = jnp.zeros(())
+    return loss, aux
+
+
+def ppo_update(
+    network: ActorCriticNetwork,
+    tx: optax.GradientTransformation,
+    params: Any,
+    opt_state: Any,
+    data: Dict[str, jax.Array],
+    popart: Optional[PopArtState],
+    key: jax.Array,
+    lr: jax.Array,
+    ent_coef: jax.Array,
+    cfg: PPOUpdateConfig,
+) -> Tuple[Any, Any, Optional[PopArtState], Dict[str, jax.Array]]:
+    """Run num_epochs x num_minibatches PPO on flattened rollout data.
+
+    ``data`` fields are [N, ...]: obs (already normalized), actions,
+    old_log_probs, advantages, returns, old_values, valid, and optionally
+    privileged_obs / action_masks.  Returns (params, opt_state, popart,
+    metrics).
+    """
+    N = data["actions"].shape[0]
+    nmb = cfg.num_minibatches
+    mb_size = N // nmb
+    if mb_size == 0:
+        raise ValueError(f"batch size {N} < num_minibatches {nmb}")
+
+    # ---- PopArt: update stats on raw returns, rescale value head ------
+    new_popart = popart
+    if popart is not None:
+        new_popart, old_mean, old_std = popart_update(
+            popart, data["returns"], data["valid"]
+        )
+        kernel, bias = network.get_value_head(params)
+        kernel, bias = popart_rescale_value_head(
+            kernel,
+            bias,
+            old_mean,
+            old_std,
+            new_popart.mean,
+            new_popart.std,
+            do_rescale=new_popart.initialized,
+        )
+        params = network.with_value_head(params, kernel, bias)
+
+    # ---- precompute shuffled minibatch index tensor --------------------
+    epoch_keys = jax.random.split(key, cfg.num_epochs)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, N)[: nmb * mb_size])(
+        epoch_keys
+    )  # [epochs, nmb*mb]
+    idx_all = perms.reshape(cfg.num_epochs * nmb, mb_size)
+
+    zero_metrics = {k: jnp.zeros(()) for k in METRIC_KEYS}
+    has_priv = "privileged_obs" in data and data["privileged_obs"] is not None
+    has_masks = "action_masks" in data and data["action_masks"] is not None
+
+    grad_fn = jax.value_and_grad(_minibatch_loss, has_aux=True)
+
+    def mb_body(carry, idx):
+        params, opt_state, stop, sums, count = carry
+
+        def run(operand):
+            params, opt_state, sums, count = operand
+            mb = {
+                "obs": data["obs"][idx],
+                "actions": data["actions"][idx],
+                "old_log_probs": data["old_log_probs"][idx],
+                "advantages": data["advantages"][idx],
+                "returns": data["returns"][idx],
+                "old_values": data["old_values"][idx],
+                "valid": data["valid"][idx],
+            }
+            if has_priv:
+                mb["privileged_obs"] = data["privileged_obs"][idx]
+            if has_masks:
+                mb["action_masks"] = data["action_masks"][idx]
+            (loss, aux), grads = grad_fn(
+                params, network, mb, new_popart, ent_coef, cfg
+            )
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, params, updates
+            )
+            new_sums = {k: sums[k] + aux[k] for k in METRIC_KEYS}
+            return new_params, new_opt, new_sums, count + 1.0, aux["approx_kl"]
+
+        def skip(operand):
+            params, opt_state, sums, count = operand
+            return params, opt_state, sums, count, jnp.zeros(())
+
+        params, opt_state, sums, count, kl = jax.lax.cond(
+            stop, skip, run, (params, opt_state, sums, count)
+        )
+        if cfg.target_kl is not None:
+            stop = stop | (kl > cfg.target_kl)
+        return (params, opt_state, stop, sums, count), None
+
+    init = (params, opt_state, jnp.zeros((), jnp.bool_), zero_metrics, jnp.zeros(()))
+    (params, opt_state, _stop, sums, count), _ = jax.lax.scan(
+        mb_body, init, idx_all
+    )
+
+    denom = jnp.maximum(count, 1.0)
+    metrics = {k: sums[k] / denom for k in METRIC_KEYS}
+    metrics["num_minibatch_updates"] = count
+    # Explained variance over valid samples, on the raw (denormalized)
+    # scale, using pre-update values (ppo.rs:2030-2059).
+    metrics["explained_variance"] = compute_explained_variance(
+        data["old_values"], data["returns"], data["valid"]
+    )
+    return params, opt_state, new_popart, metrics
