@@ -1,0 +1,233 @@
+"""Checkpointing: atomic step directories + latest/best symlinks.
+
+Layout parity with the reference (src/checkpoint.rs:147-490):
+
+    runs/<run>/checkpoints/step_00012345/
+        model.npz                 (parameter pytree leaves)
+        optimizer.npz             (Adam moments)
+        train_state.npz           (normalizer states + PRNG keys)
+        metadata.json             (arch + env + bookkeeping)
+    runs/<run>/checkpoints/latest -> step_00012345
+    runs/<run>/checkpoints/best   -> step_...
+
+Writes are atomic (tmp dir + rename, checkpoint.rs:156-177); symlink
+updates are atomic via a temp link + rename (checkpoint.rs:298-320).
+Pytrees are serialized as ordered npz leaf lists and restored against a
+template built from metadata — loading rebuilds the network from
+``metadata.json`` exactly like the reference (checkpoint.rs:195-272).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from burn_ppo_tpu.models.network import ActorCriticNetwork
+
+CHECKPOINT_DIR_PREFIX = "step_"
+
+
+# ---------------------------------------------------------------------------
+# Pytree <-> npz
+# ---------------------------------------------------------------------------
+def save_pytree(path: Path, tree: Any) -> None:
+    leaves = jax.tree_util.tree_leaves(tree)
+    arrays = {f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    path.write_bytes(buf.getvalue())
+
+
+def load_pytree(path: Path, template: Any) -> Any:
+    """Restore a pytree saved by save_pytree using ``template``'s structure."""
+    with np.load(io.BytesIO(path.read_bytes())) as data:
+        leaves = [data[f"leaf_{i:05d}"] for i in range(len(data.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"Checkpoint at {path} has {len(leaves)} leaves; template expects "
+            f"{len(t_leaves)} (architecture mismatch?)"
+        )
+    cast = [
+        jnp.asarray(leaf, dtype=t.dtype) if hasattr(t, "dtype") else leaf
+        for leaf, t in zip(leaves, t_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
+def _atomic_symlink(link: Path, target: str) -> None:
+    tmp = link.parent / f".{link.name}.tmp"
+    if tmp.exists() or tmp.is_symlink():
+        tmp.unlink()
+    tmp.symlink_to(target)
+    tmp.rename(link)
+
+
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
+def build_metadata(
+    *,
+    step: int,
+    env_name: str,
+    network: ActorCriticNetwork,
+    num_players: int,
+    avg_return: float = 0.0,
+    best_avg_return: Optional[float] = None,
+    recent_returns=(),
+    forked_from: Optional[str] = None,
+    rng_seed: int = 0,
+    exploitability_vs_pool: Optional[float] = None,
+) -> Dict[str, Any]:
+    """Full architecture + bookkeeping record (checkpoint.rs:26-96)."""
+    return {
+        "step": int(step),
+        "avg_return": float(avg_return),
+        "rng_seed": int(rng_seed),
+        "best_avg_return": best_avg_return,
+        "recent_returns": [float(r) for r in recent_returns],
+        "forked_from": forked_from,
+        "obs_dim": network.obs_dim,
+        "action_count": network.action_count,
+        "num_players": int(num_players),
+        "hidden_size": network.hidden_size,
+        "num_hidden": network.num_hidden,
+        "activation": network.activation,
+        "split_networks": network.split_networks,
+        "network_type": network.network_type,
+        "num_conv_layers": network.num_conv_layers,
+        "conv_channels": list(network.conv_channels),
+        "kernel_size": network.kernel_size,
+        "cnn_fc_hidden_size": network.cnn_fc_hidden_size,
+        "cnn_num_fc_layers": network.cnn_num_fc_layers,
+        "privileged_obs_dim": network.privileged_obs_dim,
+        "critic_hidden_size": network.critic_hidden_size,
+        "critic_num_hidden": network.critic_num_hidden,
+        "obs_shape": list(network.obs_shape) if network.obs_shape else None,
+        "env_name": env_name,
+        "exploitability_vs_pool": exploitability_vs_pool,
+    }
+
+
+def network_from_metadata(meta: Dict[str, Any]) -> ActorCriticNetwork:
+    """Rebuild the network description from metadata (checkpoint.rs:195-272)."""
+    return ActorCriticNetwork(
+        network_type=meta.get("network_type", "mlp"),
+        obs_dim=meta["obs_dim"],
+        action_count=meta["action_count"],
+        hidden_size=meta["hidden_size"],
+        num_hidden=meta["num_hidden"],
+        activation=meta["activation"],
+        split_networks=meta.get("split_networks", False),
+        privileged_obs_dim=meta.get("privileged_obs_dim"),
+        critic_hidden_size=meta.get("critic_hidden_size"),
+        critic_num_hidden=meta.get("critic_num_hidden"),
+        obs_shape=tuple(meta["obs_shape"]) if meta.get("obs_shape") else None,
+        num_conv_layers=meta.get("num_conv_layers", 2),
+        conv_channels=tuple(meta.get("conv_channels", (8, 8))),
+        kernel_size=meta.get("kernel_size", 3),
+        cnn_fc_hidden_size=meta.get("cnn_fc_hidden_size", 32),
+        cnn_num_fc_layers=meta.get("cnn_num_fc_layers", 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manager
+# ---------------------------------------------------------------------------
+class CheckpointManager:
+    """Save/load/enumerate checkpoints under ``<run_dir>/checkpoints``."""
+
+    def __init__(self, run_dir: str | Path):
+        self.dir = Path(run_dir) / "checkpoints"
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    # -- paths ----------------------------------------------------------
+    def step_dir(self, step: int) -> Path:
+        return self.dir / f"{CHECKPOINT_DIR_PREFIX}{step:08d}"
+
+    def list_steps(self) -> list:
+        steps = []
+        for p in self.dir.iterdir():
+            if p.is_dir() and p.name.startswith(CHECKPOINT_DIR_PREFIX):
+                suffix = p.name[len(CHECKPOINT_DIR_PREFIX):]
+                if suffix.isdigit():
+                    steps.append(int(suffix))
+        return sorted(steps)
+
+    def resolve(self, which: str = "latest") -> Optional[Path]:
+        """Resolve 'latest' / 'best' / 'step_NNN' / a step int to a dir."""
+        cand = self.dir / str(which)
+        if cand.exists():
+            return cand.resolve()
+        if str(which).isdigit():
+            p = self.step_dir(int(which))
+            return p if p.exists() else None
+        return None
+
+    # -- save / load ------------------------------------------------------
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any,
+        aux_state: Any,
+        metadata: Dict[str, Any],
+    ) -> Path:
+        final = self.step_dir(step)
+        tmp = Path(
+            tempfile.mkdtemp(prefix=f".tmp_{CHECKPOINT_DIR_PREFIX}{step}_", dir=self.dir)
+        )
+        try:
+            save_pytree(tmp / "model.npz", params)
+            save_pytree(tmp / "optimizer.npz", opt_state)
+            save_pytree(tmp / "train_state.npz", aux_state)
+            (tmp / "metadata.json").write_text(json.dumps(metadata, indent=2))
+            if final.exists():
+                shutil.rmtree(final)
+            tmp.rename(final)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        self.set_latest(step)
+        return final
+
+    def set_latest(self, step: int) -> None:
+        _atomic_symlink(self.dir / "latest", self.step_dir(step).name)
+
+    def set_best(self, step: int) -> None:
+        """Manual best selection, rating-driven for multiplayer
+        (checkpoint.rs:286-295)."""
+        _atomic_symlink(self.dir / "best", self.step_dir(step).name)
+
+    @staticmethod
+    def load_metadata(ckpt_dir: str | Path) -> Dict[str, Any]:
+        return json.loads((Path(ckpt_dir) / "metadata.json").read_text())
+
+    @staticmethod
+    def load_model(ckpt_dir: str | Path) -> Tuple[ActorCriticNetwork, Any, Dict[str, Any]]:
+        """(network, params, metadata) — the eval/tournament entry point
+        (reference eval.rs:734 load_model_from_checkpoint)."""
+        ckpt_dir = Path(ckpt_dir)
+        meta = CheckpointManager.load_metadata(ckpt_dir)
+        network = network_from_metadata(meta)
+        template = network.init(jax.random.PRNGKey(0))
+        params = load_pytree(ckpt_dir / "model.npz", template)
+        return network, params, meta
+
+    @staticmethod
+    def load_aux(ckpt_dir: str | Path, template: Any) -> Any:
+        return load_pytree(Path(ckpt_dir) / "train_state.npz", template)
+
+    @staticmethod
+    def load_optimizer(ckpt_dir: str | Path, template: Any) -> Any:
+        return load_pytree(Path(ckpt_dir) / "optimizer.npz", template)

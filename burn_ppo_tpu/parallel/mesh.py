@@ -1,0 +1,71 @@
+"""Device mesh + sharding layout for multi-chip data parallelism.
+
+The reference is strictly single-process / single-device (SURVEY.md §2
+note; no collectives anywhere). This module supplies the scale-out axis
+the TPU build adds: a 1-D ``data`` mesh over which environments and
+rollout data are sharded while parameters stay replicated.
+
+Design: the train step is written as a *global-view* program; we place
+env-state pytrees with a `NamedSharding(P("data"))` on their leading
+(env) dimension and let GSPMD insert the collectives — the Welford
+normalizer merges and gradient reductions become `psum`s over ICI
+automatically. No hand-written collective calls are needed in the hot
+path (the "pick a mesh, annotate shardings, let XLA do the rest" recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh. ``num_devices`` 0 => all local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (env/batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rollout_carry(carry, mesh: Mesh):
+    """Place a RolloutCarry: env-indexed leaves sharded over 'data',
+    scalar normalizer stats and keys replicated."""
+    shard = data_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def place_env_indexed(tree):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), tree)
+
+    ret_norm = carry.return_norm
+    return carry.replace(
+        env_states=place_env_indexed(carry.env_states),
+        episode_acc=place_env_indexed(carry.episode_acc),
+        last_value_per_player=jax.device_put(carry.last_value_per_player, shard),
+        return_norm=ret_norm.replace(
+            returns=jax.device_put(ret_norm.returns, shard),
+            mean=jax.device_put(ret_norm.mean, repl),
+            m2=jax.device_put(ret_norm.m2, repl),
+            count=jax.device_put(ret_norm.count, repl),
+        ),
+        key=jax.device_put(carry.key, repl),
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    repl = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)

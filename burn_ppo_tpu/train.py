@@ -1,0 +1,548 @@
+"""Training orchestrator.
+
+The reference's `run_training` (src/main.rs:167-1632) is a host loop
+around four phases: collect rollouts, GAE, PPO update, bookkeeping. Here
+the first three phases fuse into ONE jitted `train_step` that never
+leaves the device; the host loop only evaluates schedules, logs metrics,
+and writes checkpoints.
+
+Fresh/Resume/Fork modes (main.rs:151-161), checkpoint cadence + best
+tracking (main.rs:1226-1418), per-player episode metrics
+(main.rs:1026-1223) and the perf/* timing series (main.rs:530-533,
+1092-1124) all have direct equivalents.
+"""
+
+from __future__ import annotations
+
+import json
+import signal
+import time
+from collections import deque
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+from burn_ppo_tpu.config import Config
+from burn_ppo_tpu.envs import make_env
+from burn_ppo_tpu.envs.base import Environment
+from burn_ppo_tpu.metrics import MetricsLogger
+from burn_ppo_tpu.models.network import ActorCriticNetwork, make_network
+from burn_ppo_tpu.ops.gae import compute_gae, compute_gae_multiplayer
+from burn_ppo_tpu.parallel.mesh import make_mesh, replicate, shard_rollout_carry
+from burn_ppo_tpu.ppo.entropy import AdaptiveEntropyController
+from burn_ppo_tpu.ppo.normalization import (
+    ObsNormState,
+    PopArtState,
+    obs_norm_apply,
+    obs_norm_update,
+)
+from burn_ppo_tpu.ppo.rollout import (
+    RolloutCarry,
+    bootstrap_values,
+    collect_rollouts,
+    init_rollout_carry,
+)
+from burn_ppo_tpu.ppo.update import PPOUpdateConfig, make_optimizer, ppo_update
+from burn_ppo_tpu.utils import compute_avg_points
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    carry: RolloutCarry
+    obs_norm: Optional[ObsNormState]
+    popart: Optional[PopArtState]
+    update_key: jax.Array
+
+
+def build_network_for_env(env: Environment, cfg: Config) -> ActorCriticNetwork:
+    return make_network(
+        env.spec,
+        network_type=cfg.network_type,
+        hidden_size=cfg.hidden_size,
+        num_hidden=cfg.num_hidden,
+        activation=cfg.activation,
+        split_networks=cfg.split_networks,
+        critic_hidden_size=cfg.critic_hidden_size,
+        critic_num_hidden=cfg.critic_num_hidden,
+        num_conv_layers=cfg.num_conv_layers,
+        conv_channels=cfg.conv_channels,
+        kernel_size=cfg.kernel_size,
+        cnn_fc_hidden_size=cfg.cnn_fc_hidden_size,
+        cnn_num_fc_layers=cfg.cnn_num_fc_layers,
+        compute_dtype=cfg.compute_dtype,
+    )
+
+
+def make_train_step(
+    network: ActorCriticNetwork, env: Environment, cfg: Config, tx
+):
+    """Build the fused rollout -> GAE -> PPO-update step, to be jitted."""
+    P_ = env.spec.num_players
+    multiplayer = P_ > 1
+    normalize_returns = cfg.effective_normalize_returns(P_)
+    ucfg = PPOUpdateConfig(
+        clip_epsilon=cfg.clip_epsilon,
+        clip_value=cfg.clip_value,
+        value_coef=cfg.value_coef,
+        max_grad_norm=cfg.max_grad_norm,
+        num_epochs=cfg.num_epochs,
+        num_minibatches=cfg.num_minibatches,
+        target_kl=cfg.target_kl,
+        adam_epsilon=cfg.adam_epsilon,
+        normalize_values=cfg.normalize_values,
+    )
+
+    def train_step(state: TrainState, lr, ent_coef):
+        carry, batch, logs = collect_rollouts(
+            network,
+            env,
+            state.params,
+            state.carry,
+            state.obs_norm,
+            state.popart,
+            num_steps=cfg.num_steps,
+            gamma=cfg.gamma,
+            normalize_returns=normalize_returns,
+            return_clip=cfg.return_clip,
+        )
+
+        # Lagged obs-normalizer advance: stats absorb this rollout's raw
+        # batch AFTER it was collected (ppo.rs:495-497); the bootstrap
+        # forward then uses the updated stats (main.rs:878-883).
+        obs_norm_new = (
+            obs_norm_update(state.obs_norm, batch.obs)
+            if state.obs_norm is not None
+            else None
+        )
+        last_values, last_vpp = bootstrap_values(
+            network, env, state.params, carry, obs_norm_new, state.popart
+        )
+
+        if multiplayer:
+            advantages, returns = compute_gae_multiplayer(
+                batch.all_rewards,
+                batch.values,
+                batch.dones,
+                batch.acting_players,
+                last_vpp,
+                cfg.gamma,
+                cfg.gae_lambda,
+            )
+        else:
+            advantages, returns = compute_gae(
+                batch.rewards,
+                batch.values,
+                batch.dones,
+                last_values,
+                cfg.gamma,
+                cfg.gae_lambda,
+            )
+
+        T, E = batch.actions.shape
+        N = T * E
+        obs_for_update = (
+            obs_norm_apply(state.obs_norm, batch.obs)
+            if state.obs_norm is not None
+            else batch.obs
+        )
+        data = {
+            "obs": obs_for_update.reshape(N, -1),
+            "actions": batch.actions.reshape(N),
+            "old_log_probs": batch.log_probs.reshape(N),
+            "advantages": advantages.reshape(N),
+            "returns": returns.reshape(N),
+            "old_values": batch.values.reshape(N),
+            "valid": batch.valid_mask.reshape(N),
+        }
+        if batch.privileged_obs is not None:
+            data["privileged_obs"] = batch.privileged_obs.reshape(N, -1)
+        if batch.action_masks is not None:
+            data["action_masks"] = batch.action_masks.reshape(
+                N, env.spec.num_actions
+            )
+
+        key, sub = jax.random.split(state.update_key)
+        params, opt_state, popart, metrics = ppo_update(
+            network,
+            tx,
+            state.params,
+            state.opt_state,
+            data,
+            state.popart,
+            sub,
+            lr,
+            ent_coef,
+            ucfg,
+        )
+        if popart is not None:
+            metrics["value_norm/mean"] = popart.mean
+            metrics["value_norm/std"] = popart.std
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            carry=carry,
+            obs_norm=obs_norm_new,
+            popart=popart,
+            update_key=key,
+        )
+        return new_state, metrics, logs
+
+    return train_step
+
+
+@dataclass
+class EpisodeTracker:
+    """Host-side episode bookkeeping: last-100 windows for returns,
+    per-player returns, and game outcomes (main.rs:840-875)."""
+
+    num_players: int
+
+    def __post_init__(self):
+        self.recent_returns = deque(maxlen=100)  # player-0 totals
+        self.recent_per_player = [deque(maxlen=100) for _ in range(self.num_players)]
+        self.recent_lengths = deque(maxlen=100)
+        self.recent_outcomes = deque(maxlen=100)  # placement vectors
+        self.total_episodes = 0
+        self.window_episodes = 0  # since last log
+
+    def ingest(self, logs) -> None:
+        completed = np.asarray(logs.completed).reshape(-1)
+        if not completed.any():
+            return
+        totals = np.asarray(logs.total_rewards).reshape(-1, self.num_players)[completed]
+        lengths = np.asarray(logs.length).reshape(-1)[completed]
+        outcomes = np.asarray(logs.outcome).reshape(-1, self.num_players)[completed]
+        for i in range(totals.shape[0]):
+            self.recent_returns.append(float(totals[i, 0]))
+            for p in range(self.num_players):
+                self.recent_per_player[p].append(float(totals[i, p]))
+            self.recent_lengths.append(int(lengths[i]))
+            if self.num_players > 1:
+                self.recent_outcomes.append(outcomes[i].tolist())
+        self.total_episodes += int(totals.shape[0])
+        self.window_episodes += int(totals.shape[0])
+
+    @property
+    def avg_return(self) -> float:
+        return float(np.mean(self.recent_returns)) if self.recent_returns else 0.0
+
+
+class Trainer:
+    """Owns the device state + host bookkeeping for one training run."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        run_dir: str | Path,
+        *,
+        resume_from: Optional[str | Path] = None,
+        forked_from_run: Optional[str] = None,
+        quiet: bool = False,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.quiet = quiet
+
+        self.mesh = make_mesh(cfg.mesh_data)
+        self.num_devices = self.mesh.devices.size
+        self.num_envs = cfg.resolve_num_envs(self.num_devices)
+
+        env_kwargs = {}
+        self.env = make_env(cfg.env, **env_kwargs)
+        if self.env.spec.variable_player_count:
+            self.env = self.env.with_num_players(cfg.player_count.get_fixed_count())
+        self.num_players = self.env.spec.num_players
+        self.network = build_network_for_env(self.env, cfg)
+        self.tx = make_optimizer(
+            PPOUpdateConfig(
+                max_grad_norm=cfg.max_grad_norm, adam_epsilon=cfg.adam_epsilon
+            )
+        )
+
+        self.seed = cfg.seed if cfg.seed is not None else int(time.time()) % (2**31)
+        root_key = jax.random.PRNGKey(self.seed)
+        k_params, k_carry, k_update = jax.random.split(root_key, 3)
+
+        params = self.network.init(k_params)
+        opt_state = self.tx.init(params)
+        carry = init_rollout_carry(self.env, self.num_envs, k_carry)
+        obs_norm = ObsNormState.create(self.env.spec.obs_dim) if cfg.normalize_obs else None
+        popart = PopArtState.create() if cfg.normalize_values else None
+
+        self.global_step = 0
+        self.best_avg_return = float("-inf")
+        self.ckpt = CheckpointManager(self.run_dir)
+
+        if resume_from is not None:
+            params, opt_state, obs_norm, popart, carry, k_update = self._restore(
+                Path(resume_from), params, opt_state, obs_norm, popart, carry
+            )
+
+        # Place on the mesh: params/opt replicated, env state sharded.
+        params = replicate(params, self.mesh)
+        opt_state = replicate(opt_state, self.mesh)
+        if obs_norm is not None:
+            obs_norm = replicate(obs_norm, self.mesh)
+        if popart is not None:
+            popart = replicate(popart, self.mesh)
+        carry = shard_rollout_carry(carry, self.mesh)
+
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            carry=carry,
+            obs_norm=obs_norm,
+            popart=popart,
+            update_key=jax.device_put(
+                k_update, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            ),
+        )
+
+        self._train_step = jax.jit(
+            make_train_step(self.network, self.env, cfg, self.tx),
+            donate_argnums=(0,),
+        )
+
+        self.metrics = MetricsLogger(self.run_dir)
+        self.tracker = EpisodeTracker(self.num_players)
+        for r in getattr(self, "_restored_recent", []):
+            self.tracker.recent_returns.append(float(r))
+        self.adaptive_entropy = None
+        if cfg.adaptive_entropy is not None:
+            self.adaptive_entropy = AdaptiveEntropyController(
+                cfg.adaptive_entropy,
+                self.env.spec.num_actions,
+                cfg.entropy_coef.get(0),
+                cfg.adaptive_entropy_min_coef,
+                cfg.adaptive_entropy_max_coef,
+                cfg.adaptive_entropy_delta,
+            )
+        self.forked_from = forked_from_run or cfg.forked_from
+
+    # ------------------------------------------------------------------
+    def _aux_template(self, obs_norm, popart, carry) -> Dict[str, Any]:
+        return {
+            "obs_norm": obs_norm,
+            "popart": popart,
+            "return_norm": carry.return_norm,
+            "update_key": jax.random.PRNGKey(0),
+            "carry_key": jax.random.PRNGKey(0),
+        }
+
+    def _restore(self, ckpt_dir, params, opt_state, obs_norm, popart, carry):
+        """Resume: model + optimizer + normalizers + RNG (main.rs:270-414)."""
+        meta = CheckpointManager.load_metadata(ckpt_dir)
+        from burn_ppo_tpu.checkpoint import load_pytree
+
+        params = load_pytree(ckpt_dir / "model.npz", params)
+        opt_state = load_pytree(ckpt_dir / "optimizer.npz", opt_state)
+        aux = CheckpointManager.load_aux(
+            ckpt_dir, self._aux_template(obs_norm, popart, carry)
+        )
+        obs_norm = aux["obs_norm"]
+        popart = aux["popart"]
+        carry = carry.replace(return_norm=aux["return_norm"], key=aux["carry_key"])
+        self.global_step = int(meta["step"])
+        if meta.get("best_avg_return") is not None:
+            self.best_avg_return = float(meta["best_avg_return"])
+        self._restored_recent = meta.get("recent_returns", [])
+        return params, opt_state, obs_norm, popart, carry, aux["update_key"]
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self) -> Path:
+        state = self.state
+        aux = {
+            "obs_norm": state.obs_norm,
+            "popart": state.popart,
+            "return_norm": state.carry.return_norm,
+            "update_key": state.update_key,
+            "carry_key": state.carry.key,
+        }
+        meta = build_metadata(
+            step=self.global_step,
+            env_name=self.cfg.env,
+            network=self.network,
+            num_players=self.num_players,
+            avg_return=self.tracker.avg_return,
+            best_avg_return=(
+                None if self.best_avg_return == float("-inf") else self.best_avg_return
+            ),
+            recent_returns=list(self.tracker.recent_returns),
+            forked_from=self.forked_from,
+            rng_seed=self.seed,
+        )
+        path = self.ckpt.save(
+            self.global_step, state.params, state.opt_state, aux, meta
+        )
+        # Single-player best = avg-return-driven (main.rs:659, 1276);
+        # multiplayer best is rating-driven and set by the self-play stack.
+        if self.num_players == 1 and self.tracker.avg_return > self.best_avg_return:
+            self.best_avg_return = self.tracker.avg_return
+            self.ckpt.set_best(self.global_step)
+        return path
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        steps_per_update = cfg.num_steps * self.num_envs
+        max_seconds = cfg.max_training_seconds()
+        start_time = time.time()
+        start_step = self.global_step
+
+        self.metrics.log_hparams(cfg.to_dict())
+        cfg.save_toml(self.run_dir / "config.toml")
+
+        interrupted = {"flag": False}
+        prev_handler = None
+
+        def _on_sigint(sig, frame):
+            interrupted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        except ValueError:
+            pass  # non-main thread (tests)
+
+        last_metrics: Dict[str, float] = {}
+        next_log = self.global_step + cfg.log_freq
+        next_ckpt = self.global_step + cfg.checkpoint_freq
+        rollout_t = update_t = 0.0
+
+        try:
+            while self.global_step < cfg.total_steps:
+                if interrupted["flag"]:
+                    break
+                if max_seconds is not None and time.time() - start_time > max_seconds:
+                    break
+
+                lr = cfg.learning_rate.get(self.global_step)
+                if self.adaptive_entropy is not None:
+                    ent_coef, ent_target = self.adaptive_entropy.get_coefficient(
+                        self.global_step
+                    )
+                else:
+                    ent_coef = cfg.entropy_coef.get(self.global_step)
+                    ent_target = 0.0
+
+                t0 = time.time()
+                self.state, metrics, logs = self._train_step(
+                    self.state,
+                    jnp.asarray(lr, jnp.float32),
+                    jnp.asarray(ent_coef, jnp.float32),
+                )
+                metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
+                step_time = time.time() - t0
+
+                self.tracker.ingest(jax.device_get(logs))
+                self.global_step += steps_per_update
+                last_metrics = metrics
+
+                if self.adaptive_entropy is not None:
+                    self.adaptive_entropy.record_entropy(metrics["entropy"])
+
+                if self.global_step >= next_log:
+                    next_log = self.global_step + cfg.log_freq
+                    sps = steps_per_update / max(step_time, 1e-9)
+                    self._log_metrics(metrics, lr, ent_coef, ent_target, sps)
+                    if not self.quiet:
+                        self._print_progress(metrics, sps)
+
+                if self.global_step >= next_ckpt:
+                    next_ckpt = self.global_step + cfg.checkpoint_freq
+                    self.save_checkpoint()
+
+            # Final checkpoint (always, like the reference's end-of-run save)
+            self.save_checkpoint()
+        finally:
+            if prev_handler is not None:
+                try:
+                    signal.signal(signal.SIGINT, prev_handler)
+                except ValueError:
+                    pass
+            self.metrics.flush()
+
+        elapsed = time.time() - start_time
+        total_sps = (self.global_step - start_step) / max(elapsed, 1e-9)
+        summary = {
+            "final_step": self.global_step,
+            "avg_return": self.tracker.avg_return,
+            "elapsed_seconds": elapsed,
+            "sps": total_sps,
+            **{f"train/{k}": v for k, v in last_metrics.items()},
+        }
+        return summary
+
+    # ------------------------------------------------------------------
+    def _log_metrics(self, m, lr, ent_coef, ent_target, sps) -> None:
+        """~40 scalar series matching the reference names (main.rs:1026-1223)."""
+        step = self.global_step
+        log = self.metrics.log_scalar
+        log("train/policy_loss", m["policy_loss"], step)
+        log("train/value_loss", m["value_loss"], step)
+        log("train/entropy", m["entropy"], step)
+        log("train/entropy_coef", ent_coef, step)
+        if self.adaptive_entropy is not None:
+            log("train/entropy_target", ent_target, step)
+        log("train/approx_kl", m["approx_kl"], step)
+        log("train/clip_fraction", m["clip_fraction"], step)
+        log("train/total_loss", m["total_loss"], step)
+        log("train/learning_rate", lr, step)
+        log("train/explained_variance", m["explained_variance"], step)
+        log("train/value_mean", m["value_mean"], step)
+        log("train/returns_mean", m["returns_mean"], step)
+        log("train/advantage_mean_raw", m["adv_mean_raw"], step)
+        log("train/advantage_std_raw", m["adv_std_raw"], step)
+        log("train/value_error_mean", m["value_error_mean"], step)
+        log("train/value_error_std", m["value_error_std"], step)
+        log("train/minibatch_updates", m["num_minibatch_updates"], step)
+        if m.get("avg_valid_actions", 0.0):
+            log("train/avg_valid_actions", m["avg_valid_actions"], step)
+            log("train/entropy_valid_pct", m["entropy_valid_pct"], step)
+        if "value_norm/mean" in m:
+            log("value_norm/mean", m["value_norm/mean"], step)
+            log("value_norm/std", m["value_norm/std"], step)
+        log("perf/sps", sps, step)
+
+        tr = self.tracker
+        if tr.recent_returns:
+            log("episode/return_mean", tr.avg_return, step)
+            log("episode/return_max", float(np.max(tr.recent_returns)), step)
+            log("episode/return_min", float(np.min(tr.recent_returns)), step)
+            if tr.recent_lengths:
+                log("episode/length_mean", float(np.mean(tr.recent_lengths)), step)
+            log("episode/count", float(tr.total_episodes), step)
+        if self.num_players > 1 and tr.recent_outcomes:
+            avg_points, _counts, draw_rate = compute_avg_points(
+                tr.recent_outcomes, self.num_players
+            )
+            for p in range(self.num_players):
+                log(f"episode/player_{p}_points", avg_points[p], step)
+                if tr.recent_per_player[p]:
+                    log(
+                        f"episode/player_{p}_return_mean",
+                        float(np.mean(tr.recent_per_player[p])),
+                        step,
+                    )
+            log("episode/draw_rate", draw_rate, step)
+        tr.window_episodes = 0
+        self.metrics.flush()
+
+    def _print_progress(self, m, sps) -> None:
+        pct = 100.0 * self.global_step / max(self.cfg.total_steps, 1)
+        print(
+            f"[{self.cfg.env}] step {self.global_step:>10,} ({pct:5.1f}%) "
+            f"sps={sps:>9,.0f} return={self.tracker.avg_return:8.2f} "
+            f"kl={m['approx_kl']:.4f} ent={m['entropy']:.3f} "
+            f"ev={m['explained_variance']:.2f}",
+            flush=True,
+        )

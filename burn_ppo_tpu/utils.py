@@ -1,0 +1,67 @@
+"""Host-side helpers: Swiss points, placements, duration formatting.
+
+Behavioral parity with reference src/env.rs:208-261 (compute_avg_points)
+and src/eval.rs:276-306 (rewards_to_placements).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+
+def compute_avg_points(
+    outcomes: Iterable[Sequence[int]], max_players: int
+) -> Tuple[List[float], List[int], float]:
+    """Average Swiss points per player + game counts + draw rate.
+
+    ``outcomes``: iterable of placement vectors (1-indexed, ties share a
+    placement, '1224' competition ranking). Swiss points use fractional
+    ranking: points = n_players_in_game - avg_position, where tied
+    players average the positions they span (env.rs:225-246).
+    """
+    outcomes = list(outcomes)
+    total_points = [0.0] * max_players
+    game_counts = [0] * max_players
+    draws = 0
+    if not outcomes:
+        return [0.0] * max_players, game_counts, 0.0
+    for placements in outcomes:
+        placements = list(placements)
+        n = len(placements)
+        if all(p == 1 for p in placements):
+            draws += 1
+        for player, place in enumerate(placements):
+            if player >= max_players:
+                break
+            tied = sum(1 for p in placements if p == place)
+            avg_position = place + (tied - 1) / 2.0
+            total_points[player] += n - avg_position
+            game_counts[player] += 1
+    avg = [
+        (total_points[p] / game_counts[p]) if game_counts[p] else 0.0
+        for p in range(max_players)
+    ]
+    return avg, game_counts, draws / len(outcomes)
+
+
+def rewards_to_placements(rewards: Sequence[float]) -> List[int]:
+    """Final per-player rewards -> 1-indexed competition-ranked placements
+    (reference src/eval.rs:276-306): higher reward = better placement;
+    equal rewards share a placement; '1224' style."""
+    n = len(rewards)
+    placements = [0] * n
+    for i, r in enumerate(rewards):
+        better = sum(1 for x in rewards if x > r)
+        placements[i] = better + 1
+    return placements
+
+
+def format_duration(seconds: float) -> str:
+    seconds = int(seconds)
+    h, rem = divmod(seconds, 3600)
+    m, s = divmod(rem, 60)
+    if h:
+        return f"{h}h{m:02d}m{s:02d}s"
+    if m:
+        return f"{m}m{s:02d}s"
+    return f"{s}s"

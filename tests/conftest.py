@@ -20,4 +20,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The ambient JAX install may prepend the 'axon' TPU platform regardless of
+# JAX_PLATFORMS; force the CPU backend explicitly before any device query.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
