@@ -88,9 +88,13 @@ def build_metadata(
     forked_from: Optional[str] = None,
     rng_seed: int = 0,
     exploitability_vs_pool: Optional[float] = None,
+    normalize_obs: bool = False,
+    normalize_values: bool = False,
 ) -> Dict[str, Any]:
     """Full architecture + bookkeeping record (checkpoint.rs:26-96)."""
     return {
+        "normalize_obs": bool(normalize_obs),
+        "normalize_values": bool(normalize_values),
         "step": int(step),
         "avg_return": float(avg_return),
         "rng_seed": int(rng_seed),
@@ -180,9 +184,13 @@ class CheckpointManager:
         step: int,
         params: Any,
         opt_state: Any,
-        aux_state: Any,
+        aux_state: Dict[str, Any],
         metadata: Dict[str, Any],
     ) -> Path:
+        """aux_state: component name -> pytree (or None to skip). Each
+        component is its own file, mirroring the reference's separate
+        normalizer.json / return_normalizer.json / popart_normalizer.json
+        / rng_state.bin (checkpoint.rs:379-490)."""
         final = self.step_dir(step)
         tmp = Path(
             tempfile.mkdtemp(prefix=f".tmp_{CHECKPOINT_DIR_PREFIX}{step}_", dir=self.dir)
@@ -190,7 +198,9 @@ class CheckpointManager:
         try:
             save_pytree(tmp / "model.npz", params)
             save_pytree(tmp / "optimizer.npz", opt_state)
-            save_pytree(tmp / "train_state.npz", aux_state)
+            for name, tree in aux_state.items():
+                if tree is not None:
+                    save_pytree(tmp / f"{name}.npz", tree)
             (tmp / "metadata.json").write_text(json.dumps(metadata, indent=2))
             if final.exists():
                 shutil.rmtree(final)
@@ -225,9 +235,27 @@ class CheckpointManager:
         return network, params, meta
 
     @staticmethod
-    def load_aux(ckpt_dir: str | Path, template: Any) -> Any:
-        return load_pytree(Path(ckpt_dir) / "train_state.npz", template)
+    def load_component(ckpt_dir: str | Path, name: str, template: Any) -> Any:
+        """Load one aux component (e.g. 'obs_norm'); returns the template's
+        None if the file is absent (feature disabled when saved)."""
+        path = Path(ckpt_dir) / f"{name}.npz"
+        if not path.exists():
+            return None
+        return load_pytree(path, template)
 
     @staticmethod
     def load_optimizer(ckpt_dir: str | Path, template: Any) -> Any:
         return load_pytree(Path(ckpt_dir) / "optimizer.npz", template)
+
+    @staticmethod
+    def load_obs_normalizer(ckpt_dir: str | Path):
+        """Obs normalizer for inference-time use (eval/tournament), or
+        None if the checkpoint trained without normalize_obs."""
+        from burn_ppo_tpu.ppo.normalization import ObsNormState
+
+        meta = CheckpointManager.load_metadata(ckpt_dir)
+        if not meta.get("normalize_obs"):
+            return None
+        return CheckpointManager.load_component(
+            ckpt_dir, "obs_norm", ObsNormState.create(meta["obs_dim"])
+        )

@@ -1,0 +1,534 @@
+"""Evaluation: stats mode, watch mode, and human-in-the-loop games.
+
+Parity with the reference `eval` subcommand (src/eval.rs):
+  * PlayerSource {Checkpoint, Human, Random} (eval.rs:38-67);
+  * TempSchedule const/cutoff/decay with env defaults (eval.rs:76-217);
+  * stats mode: parallel envs, seat-permutation rotation for fairness,
+    model-dedup batching, per-player placement/points tables
+    (eval.rs:1541-1800+); self-play broadcast when one checkpoint is
+    given for a multiplayer game (eval.rs:893-911);
+  * watch mode: ASCII render / step / fps animation (eval.rs:1068-1279);
+  * interactive human play in the terminal (eval.rs:947, human.rs).
+
+TPU design: the stats engine is a jitted `lax.scan` over fixed-size step
+chunks. All S distinct policies forward the FULL env batch each step and
+the acting seat's logits are gathered per env — heterogeneous
+architectures stay separate XLA computations while envs never partition
+dynamically (the reference groups envs per model on CPU instead,
+eval.rs:1685-1717).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from burn_ppo_tpu.checkpoint import CheckpointManager
+from burn_ppo_tpu.envs import make_env
+from burn_ppo_tpu.envs.base import (
+    Environment,
+    EpisodeAccumulator,
+    autoreset_step,
+)
+from burn_ppo_tpu.ops.categorical import apply_action_mask, sample_with_temperature
+from burn_ppo_tpu.ppo.normalization import obs_norm_apply
+from burn_ppo_tpu.utils import compute_avg_points, rewards_to_placements
+
+
+# ---------------------------------------------------------------------------
+# Player sources
+# ---------------------------------------------------------------------------
+@dataclass
+class PlayerSource:
+    kind: str  # "checkpoint" | "human" | "random"
+    name: str
+    path: Optional[Path] = None
+    network: Any = None
+    params: Any = None
+    obs_norm: Any = None
+
+    @staticmethod
+    def checkpoint(path: str | Path) -> "PlayerSource":
+        path = Path(path)
+        network, params, meta = CheckpointManager.load_model(path)
+        obs_norm = CheckpointManager.load_obs_normalizer(path)
+        # runs/<run>/checkpoints/step_X -> "<run>/step_X"
+        name = f"{path.parent.parent.name}/{path.name}" if path.name.startswith(
+            "step_"
+        ) else str(path)
+        return PlayerSource(
+            kind="checkpoint",
+            name=name,
+            path=path,
+            network=network,
+            params=params,
+            obs_norm=obs_norm,
+        )
+
+    @staticmethod
+    def random() -> "PlayerSource":
+        return PlayerSource(kind="random", name="Random")
+
+    @staticmethod
+    def human(name: str) -> "PlayerSource":
+        return PlayerSource(kind="human", name=name)
+
+
+# ---------------------------------------------------------------------------
+# Temperature schedule
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class TempSchedule:
+    """Eval-time sampling temperature by move number (eval.rs:76-217)."""
+
+    initial: float
+    final_temp: float = 0.0
+    cutoff: Optional[int] = None
+    decay: bool = False
+
+    @staticmethod
+    def from_args(env: Environment, args) -> "TempSchedule":
+        if getattr(args, "no_temp_cutoff", False):
+            return TempSchedule(
+                initial=args.temp if args.temp is not None else env.spec.eval_temp
+            )
+        env_cutoff = env.spec.eval_temp_cutoff
+        cutoff = (
+            args.temp_cutoff
+            if args.temp_cutoff is not None
+            else (env_cutoff[0] if env_cutoff else None)
+        )
+        if cutoff is None:
+            if args.temp_final is not None:
+                raise ValueError("--temp-final requires --temp-cutoff (or env default)")
+            if getattr(args, "temp_decay", False):
+                raise ValueError("--temp-decay requires --temp-cutoff (or env default)")
+        final = (
+            args.temp_final
+            if args.temp_final is not None
+            else (env_cutoff[1] if env_cutoff else 0.0)
+        )
+        return TempSchedule(
+            initial=args.temp if args.temp is not None else env.spec.eval_temp,
+            final_temp=final,
+            cutoff=cutoff,
+            decay=getattr(args, "temp_decay", False),
+        )
+
+    def get_temp(self, move_num) -> Any:
+        """Scalar or vectorized (jnp) temperature lookup."""
+        if self.cutoff is None:
+            return jnp.full_like(jnp.asarray(move_num, jnp.float32), self.initial)
+        move = jnp.asarray(move_num, jnp.float32)
+        if self.decay:
+            t = jnp.clip(move / self.cutoff, 0.0, 1.0)
+            ramp = self.initial + t * (self.final_temp - self.initial)
+        else:
+            ramp = jnp.full_like(move, self.initial)
+        return jnp.where(move >= self.cutoff, self.final_temp, ramp)
+
+    def describe(self) -> str:
+        if self.cutoff is None:
+            return f"temp={self.initial:.2f} (constant)"
+        kind = "decay over" if self.decay else "cutoff at move"
+        return f"temp={self.initial:.2f}->{self.final_temp:.2f} ({kind} {self.cutoff})"
+
+
+# ---------------------------------------------------------------------------
+# Stats accumulation
+# ---------------------------------------------------------------------------
+@dataclass
+class EvalStats:
+    """Per-source aggregates (reference EvalStats, eval.rs:315-718)."""
+
+    source_names: List[str]
+    num_players: int
+    placements: List[List[int]] = field(default_factory=list)  # [S][P] counts
+    rewards: List[float] = field(default_factory=list)
+    games: List[int] = field(default_factory=list)
+    outcomes_by_source: List[List[List[int]]] = field(default_factory=list)
+    game_records: List[List[Tuple[int, int]]] = field(default_factory=list)
+    draws: int = 0
+    total_games: int = 0
+
+    def __post_init__(self):
+        S = len(self.source_names)
+        self.placements = [[0] * self.num_players for _ in range(S)]
+        self.rewards = [0.0] * S
+        self.games = [0] * S
+        self.outcomes_by_source = [[] for _ in range(S)]
+
+    def record_game(self, seat_sources: Sequence[int], placements: Sequence[int],
+                    seat_rewards: Sequence[float]) -> None:
+        self.total_games += 1
+        if all(p == 1 for p in placements):
+            self.draws += 1
+        record = []
+        for seat, source in enumerate(seat_sources):
+            place = int(placements[seat])
+            self.placements[source][min(place - 1, self.num_players - 1)] += 1
+            self.rewards[source] += float(seat_rewards[seat])
+            self.games[source] += 1
+            record.append((source, place))
+        self.game_records.append(record)
+
+    def summary_rows(self) -> List[Dict[str, Any]]:
+        rows = []
+        for s, name in enumerate(self.source_names):
+            games = max(self.games[s], 1)
+            total_points = 0.0
+            for place_idx, count in enumerate(self.placements[s]):
+                # Swiss points approximation per recorded placement
+                total_points += count * (self.num_players - (place_idx + 1))
+            avg_place = (
+                sum((i + 1) * c for i, c in enumerate(self.placements[s])) / games
+            )
+            rows.append(
+                {
+                    "name": name,
+                    "games": self.games[s],
+                    "avg_placement": avg_place,
+                    "avg_reward": self.rewards[s] / games,
+                    "win_rate": self.placements[s][0] / games,
+                    "placements": list(self.placements[s]),
+                }
+            )
+        return rows
+
+    def print_table(self) -> None:
+        print(f"\nResults over {self.total_games} games "
+              f"(draw rate {self.draws / max(self.total_games, 1):.1%}):")
+        header = f"{'Player':<40} {'Games':>6} {'Win%':>7} {'AvgPlace':>9} {'AvgReward':>10}"
+        print(header)
+        print("-" * len(header))
+        for row in self.summary_rows():
+            print(
+                f"{row['name']:<40} {row['games']:>6} {row['win_rate']:>6.1%} "
+                f"{row['avg_placement']:>9.2f} {row['avg_reward']:>10.3f}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# Stats-mode engine (shared by tournament, reference eval.rs:1621)
+# ---------------------------------------------------------------------------
+class _EvalCarry(struct.PyTreeNode):
+    env_states: Any
+    acc: EpisodeAccumulator
+    move_count: jax.Array  # [E]
+    perm_idx: jax.Array  # [E]
+    key: jax.Array
+
+
+def generate_permutations(n: int) -> np.ndarray:
+    """All n! seat permutations (reference uses Heap's algorithm,
+    eval.rs:1591-1619; itertools is equivalent)."""
+    return np.array(list(itertools.permutations(range(n))), dtype=np.int32)
+
+
+def run_stats_mode(
+    env: Environment,
+    sources: List[PlayerSource],
+    num_games: int,
+    num_envs: int = 64,
+    temp: Optional[TempSchedule] = None,
+    seed: Optional[int] = None,
+    chunk_steps: int = 64,
+    quiet: bool = False,
+) -> EvalStats:
+    """Play ``num_games`` with seat rotation; returns per-source stats."""
+    P = env.spec.num_players
+    S = len(sources)
+    temp = temp or TempSchedule(initial=env.spec.eval_temp,
+                                final_temp=(env.spec.eval_temp_cutoff or (0, 0.0))[1],
+                                cutoff=(env.spec.eval_temp_cutoff or (None,))[0])
+    assert all(s.kind in ("checkpoint", "random") for s in sources), (
+        "human players use the interactive path"
+    )
+
+    # Seat maps: if S == P use all P! permutations of sources over seats;
+    # if S == 1, broadcast (self-play). Otherwise cycle sources over seats.
+    if S == 1:
+        perms = np.zeros((1, P), dtype=np.int32)
+    elif S == P:
+        perms = generate_permutations(P)
+    else:
+        perms = np.array(
+            [[(i + r) % S for i in range(P)] for r in range(S)], dtype=np.int32
+        )
+    perm_table = jnp.asarray(perms)
+    n_perms = perms.shape[0]
+
+    key = jax.random.PRNGKey(seed if seed is not None else int(time.time()) % 2**31)
+    key, k_reset = jax.random.split(key)
+    env_states = jax.vmap(env.reset)(jax.random.split(k_reset, num_envs))
+    carry = _EvalCarry(
+        env_states=env_states,
+        acc=jax.vmap(lambda _: EpisodeAccumulator.zero(P))(jnp.arange(num_envs)),
+        move_count=jnp.zeros((num_envs,), jnp.int32),
+        # Stagger starting permutations across envs for coverage.
+        perm_idx=jnp.arange(num_envs, dtype=jnp.int32) % n_perms,
+        key=key,
+    )
+
+    v_obs = jax.vmap(env.obs)
+    v_mask = jax.vmap(env.action_mask)
+    v_player = jax.vmap(env.current_player)
+
+    def all_source_logits(obs_raw, mask):
+        outs = []
+        for s in sources:
+            if s.kind == "random":
+                outs.append(jnp.zeros((num_envs, env.spec.num_actions)))
+            else:
+                obs = (
+                    obs_norm_apply(s.obs_norm, obs_raw)
+                    if s.obs_norm is not None
+                    else obs_raw
+                )
+                outs.append(s.network.forward_actor(s.params, obs))
+        return jnp.stack(outs)  # [S, E, A]
+
+    def step_fn(c: _EvalCarry, _):
+        k, k_sample, k_reset = jax.random.split(c.key, 3)
+        obs_raw = v_obs(c.env_states)
+        mask = v_mask(c.env_states).astype(jnp.float32)
+        players = v_player(c.env_states)
+
+        logits_all = all_source_logits(obs_raw, mask)  # [S, E, A]
+        acting_source = perm_table[c.perm_idx, players]  # [E]
+        logits = jnp.take_along_axis(
+            logits_all, acting_source[None, :, None], axis=0
+        )[0]
+        masked = apply_action_mask(logits, mask)
+        temps = temp.get_temp(c.move_count)
+        actions = sample_with_temperature(k_sample, masked, temps)
+
+        next_states, next_acc, terminal, log = jax.vmap(
+            lambda s, a, act, rk: autoreset_step(env, s, a, act, rk)
+        )(c.env_states, c.acc, actions, jax.random.split(k_reset, num_envs))
+
+        done = terminal.done
+        out = (log, c.perm_idx)  # perm BEFORE advance maps seats->sources
+        new_carry = _EvalCarry(
+            env_states=next_states,
+            acc=next_acc,
+            move_count=jnp.where(done, 0, c.move_count + 1),
+            perm_idx=jnp.where(done, (c.perm_idx + 1) % n_perms, c.perm_idx),
+            key=k,
+        )
+        return new_carry, out
+
+    @jax.jit
+    def run_chunk(c):
+        return jax.lax.scan(step_fn, c, None, length=chunk_steps)
+
+    stats = EvalStats([s.name for s in sources], P)
+    while stats.total_games < num_games:
+        carry, (logs, perm_hist) = run_chunk(carry)
+        logs = jax.device_get(logs)
+        perm_hist = np.asarray(jax.device_get(perm_hist))  # [T, E]
+        completed = np.asarray(logs.completed)  # [T, E]
+        outcomes = np.asarray(logs.outcome)  # [T, E, P]
+        totals = np.asarray(logs.total_rewards)  # [T, E, P]
+        for t, e in zip(*np.nonzero(completed)):
+            if stats.total_games >= num_games:
+                break
+            seat_sources = perms[perm_hist[t, e]]
+            stats.record_game(seat_sources, outcomes[t, e], totals[t, e])
+        if not quiet:
+            print(f"\r  games: {stats.total_games}/{num_games}", end="", flush=True)
+    if not quiet:
+        print()
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Watch mode (eval.rs:1068-1279)
+# ---------------------------------------------------------------------------
+def run_watch_mode(
+    env: Environment,
+    sources: List[PlayerSource],
+    num_games: int,
+    temp: TempSchedule,
+    seed: Optional[int],
+    step_mode: bool = False,
+    fps: int = 10,
+    animate: bool = False,
+) -> None:
+    P = env.spec.num_players
+    key = jax.random.PRNGKey(seed if seed is not None else int(time.time()) % 2**31)
+    jit_step = jax.jit(env.step)
+    for game in range(num_games):
+        key, k = jax.random.split(key)
+        state = env.reset(k)
+        move = 0
+        print(f"\n=== Game {game + 1}/{num_games} ===")
+        while not bool(state.done):
+            rendered = env.render(state)
+            if rendered:
+                print(rendered)
+            player = int(env.current_player(state))
+            source = sources[player % len(sources)]
+            key, k_s = jax.random.split(key)
+            action = _select_action(env, state, source, temp.get_temp(move), k_s)
+            print(f"{source.name} (P{player}): {env.describe_action(int(action))}")
+            state = jit_step(state, jnp.asarray(action, jnp.int32))
+            move += 1
+            if step_mode:
+                input("  [Enter to continue]")
+            elif animate:
+                time.sleep(1.0 / max(fps, 1))
+        rendered = env.render(state)
+        if rendered:
+            print(rendered)
+        print(f"Final rewards: {np.asarray(state.rewards)}")
+
+
+def _select_action(env, state, source: PlayerSource, temperature, key) -> int:
+    mask = env.action_mask(state).astype(jnp.float32)[None, :]
+    if source.kind == "random":
+        logits = jnp.zeros((1, env.spec.num_actions))
+    elif source.kind == "human":
+        from burn_ppo_tpu.human import prompt_human_action
+
+        return prompt_human_action(env, state, hint_source=None)
+    else:
+        obs = env.obs(state)[None, :]
+        if source.obs_norm is not None:
+            obs = obs_norm_apply(source.obs_norm, obs)
+        logits = source.network.forward_actor(source.params, obs)
+    masked = apply_action_mask(logits, mask)
+    return int(sample_with_temperature(key, masked, jnp.asarray(temperature))[0])
+
+
+# ---------------------------------------------------------------------------
+# Interactive (human) evaluation (eval.rs:947, 1293)
+# ---------------------------------------------------------------------------
+def run_interactive_evaluation(
+    env: Environment,
+    sources: List[PlayerSource],
+    num_games: int,
+    temp: TempSchedule,
+    seed: Optional[int],
+) -> None:
+    from burn_ppo_tpu.human import prompt_human_action
+
+    P = env.spec.num_players
+    if len(sources) != P:
+        raise ValueError(f"need {P} players for {env.spec.name}, got {len(sources)}")
+    key = jax.random.PRNGKey(seed if seed is not None else int(time.time()) % 2**31)
+    model_sources = [s for s in sources if s.kind == "checkpoint"]
+    hint = model_sources[0] if model_sources else None
+    wins = [0] * len(sources)
+    for game in range(num_games):
+        key, k = jax.random.split(key)
+        state = env.reset(k)
+        move = 0
+        print(f"\n=== Game {game + 1}/{num_games} ===")
+        while not bool(state.done):
+            player = int(env.current_player(state))
+            source = sources[player]
+            rendered = env.render(state)
+            if rendered and source.kind == "human":
+                print(rendered)
+            key, k_s = jax.random.split(key)
+            if source.kind == "human":
+                action = prompt_human_action(env, state, hint_source=hint)
+            else:
+                action = _select_action(env, state, source, temp.get_temp(move), k_s)
+                print(f"{source.name}: {env.describe_action(int(action))}")
+            state = env.step(state, jnp.asarray(action, jnp.int32))
+            move += 1
+        rendered = env.render(state)
+        if rendered:
+            print(rendered)
+        placements = rewards_to_placements([float(r) for r in np.asarray(state.rewards)])
+        for i, pl in enumerate(placements):
+            if pl == 1:
+                wins[i] += 1
+        print(f"Final rewards: {np.asarray(state.rewards)}")
+    print("\nWins:", {sources[i].name: wins[i] for i in range(len(sources))})
+
+
+# ---------------------------------------------------------------------------
+# CLI entry (reference run_evaluation, eval.rs:772)
+# ---------------------------------------------------------------------------
+def build_sources(args, env_name_hint: Optional[str] = None):
+    sources: List[PlayerSource] = []
+    env_name = env_name_hint
+    for path in args.checkpoints:
+        src = PlayerSource.checkpoint(_resolve_checkpoint(path))
+        sources.append(src)
+        meta = CheckpointManager.load_metadata(src.path)
+        env_name = env_name or meta["env_name"]
+    for name in getattr(args, "humans", []):
+        sources.append(PlayerSource.human(name))
+    if getattr(args, "random", False):
+        sources.append(PlayerSource.random())
+    return sources, env_name
+
+
+def _resolve_checkpoint(path: str | Path) -> Path:
+    """Accept a checkpoint dir, a run dir (uses best, then latest), or a
+    checkpoints dir."""
+    p = Path(path)
+    if (p / "metadata.json").exists():
+        return p
+    for sub in ("checkpoints/best", "checkpoints/latest", "best", "latest"):
+        cand = p / sub
+        if (cand / "metadata.json").exists():
+            return cand.resolve()
+    raise FileNotFoundError(f"No checkpoint found at {path}")
+
+
+def run_evaluation_cli(args) -> int:
+    sources, env_name = build_sources(args, getattr(args, "env_name", None))
+    if env_name is None:
+        print("error: no checkpoint given and no --env specified")
+        return 1
+    env = make_env(env_name)
+    if env.spec.variable_player_count and getattr(args, "players", None):
+        env = env.with_num_players(args.players)
+    P = env.spec.num_players
+
+    temp = TempSchedule.from_args(env, args)
+    print(f"Evaluating {env_name} with {temp.describe()}")
+
+    humans = [s for s in sources if s.kind == "human"]
+    if humans:
+        # Fill remaining seats by cycling non-human sources.
+        non_human = [s for s in sources if s.kind != "human"] or [PlayerSource.random()]
+        seats = list(sources)
+        i = 0
+        while len(seats) < P:
+            seats.append(non_human[i % len(non_human)])
+            i += 1
+        run_interactive_evaluation(env, seats[:P], args.num_games, temp, args.seed)
+        return 0
+
+    if not sources:
+        print("error: need at least one --checkpoint / --random player")
+        return 1
+
+    if args.watch or args.step or args.animate:
+        seats = [sources[i % len(sources)] for i in range(P)]
+        run_watch_mode(
+            env, seats, args.num_games, temp, args.seed,
+            step_mode=args.step, fps=args.fps, animate=args.animate,
+        )
+        return 0
+
+    stats = run_stats_mode(
+        env, sources, args.num_games, num_envs=args.num_envs,
+        temp=temp, seed=args.seed,
+    )
+    stats.print_table()
+    return 0

@@ -75,7 +75,10 @@ def sample_with_temperature(
     and selected (cheap: one extra argmax).
     """
     temperature = jnp.asarray(temperature, dtype=logits.dtype)
+    if temperature.ndim == logits.ndim - 1:
+        temperature = temperature[..., None]  # per-row temperatures
     safe_t = jnp.maximum(temperature, 1e-8)
     sampled = jax.random.categorical(key, logits / safe_t, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
-    return jnp.where(temperature <= 0.0, greedy, sampled).astype(jnp.int32)
+    temp_rows = temperature[..., 0] if temperature.ndim == logits.ndim else temperature
+    return jnp.where(temp_rows <= 0.0, greedy, sampled).astype(jnp.int32)

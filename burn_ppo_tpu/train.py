@@ -330,33 +330,36 @@ class Trainer:
         self.forked_from = forked_from_run or cfg.forked_from
 
     # ------------------------------------------------------------------
-    def _aux_template(self, obs_norm, popart, carry) -> Dict[str, Any]:
-        return {
-            "obs_norm": obs_norm,
-            "popart": popart,
-            "return_norm": carry.return_norm,
-            "update_key": jax.random.PRNGKey(0),
-            "carry_key": jax.random.PRNGKey(0),
-        }
-
     def _restore(self, ckpt_dir, params, opt_state, obs_norm, popart, carry):
         """Resume: model + optimizer + normalizers + RNG (main.rs:270-414)."""
-        meta = CheckpointManager.load_metadata(ckpt_dir)
         from burn_ppo_tpu.checkpoint import load_pytree
 
+        meta = CheckpointManager.load_metadata(ckpt_dir)
         params = load_pytree(ckpt_dir / "model.npz", params)
         opt_state = load_pytree(ckpt_dir / "optimizer.npz", opt_state)
-        aux = CheckpointManager.load_aux(
-            ckpt_dir, self._aux_template(obs_norm, popart, carry)
+        if obs_norm is not None:
+            obs_norm = CheckpointManager.load_component(ckpt_dir, "obs_norm", obs_norm)
+        if popart is not None:
+            popart = CheckpointManager.load_component(ckpt_dir, "popart", popart)
+        ret_norm = CheckpointManager.load_component(
+            ckpt_dir, "return_norm", carry.return_norm
         )
-        obs_norm = aux["obs_norm"]
-        popart = aux["popart"]
-        carry = carry.replace(return_norm=aux["return_norm"], key=aux["carry_key"])
+        rng = CheckpointManager.load_component(
+            ckpt_dir,
+            "rng_state",
+            {"update_key": jax.random.PRNGKey(0), "carry_key": jax.random.PRNGKey(0)},
+        )
+        if ret_norm is not None:
+            carry = carry.replace(return_norm=ret_norm)
+        update_key = carry.key
+        if rng is not None:
+            carry = carry.replace(key=rng["carry_key"])
+            update_key = rng["update_key"]
         self.global_step = int(meta["step"])
         if meta.get("best_avg_return") is not None:
             self.best_avg_return = float(meta["best_avg_return"])
         self._restored_recent = meta.get("recent_returns", [])
-        return params, opt_state, obs_norm, popart, carry, aux["update_key"]
+        return params, opt_state, obs_norm, popart, carry, update_key
 
     # ------------------------------------------------------------------
     def save_checkpoint(self) -> Path:
@@ -365,8 +368,10 @@ class Trainer:
             "obs_norm": state.obs_norm,
             "popart": state.popart,
             "return_norm": state.carry.return_norm,
-            "update_key": state.update_key,
-            "carry_key": state.carry.key,
+            "rng_state": {
+                "update_key": state.update_key,
+                "carry_key": state.carry.key,
+            },
         }
         meta = build_metadata(
             step=self.global_step,
@@ -380,6 +385,8 @@ class Trainer:
             recent_returns=list(self.tracker.recent_returns),
             forked_from=self.forked_from,
             rng_seed=self.seed,
+            normalize_obs=self.cfg.normalize_obs,
+            normalize_values=self.cfg.normalize_values,
         )
         path = self.ckpt.save(
             self.global_step, state.params, state.opt_state, aux, meta
