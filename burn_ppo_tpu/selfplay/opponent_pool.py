@@ -1,0 +1,271 @@
+"""Historical-checkpoint opponent pool.
+
+Parity with the reference (src/opponent_pool.rs): checkpoints join the
+pool as they are saved (scan on startup, opponent_pool.rs:356-427);
+each update ("rotation") samples active opponents with probability
+proportional to (1 - win_rate)^exponent, weighted without replacement
+(432-482); game results queue per rotation and fold into an EMA win rate
+once per rotation (578-653); stats persist atomically to
+``opponent_stats.json`` (345-349); a selection-probability PNG renders
+per checkpoint (741-891); pool performance vs the best checkpoint gives
+the exploitability metric (921-948).
+
+TPU twist: instead of lazily loading one model per opponent group per
+step (reference 524-568), the rotation's K opponents' parameters are
+stacked along a leading axis ONCE per rotation and shipped to the
+device; the rollout vmaps over them. An LRU cache keeps recently used
+checkpoints' params in host memory.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from burn_ppo_tpu.checkpoint import CheckpointManager
+
+
+@dataclass
+class OpponentStats:
+    """EMA win-rate record per pool checkpoint (opponent_pool.rs:33-61)."""
+
+    name: str
+    step: int
+    win_rate: float = 0.5
+    games_played: int = 0
+
+    def to_dict(self):
+        return {
+            "name": self.name,
+            "step": self.step,
+            "win_rate": self.win_rate,
+            "games_played": self.games_played,
+        }
+
+    @staticmethod
+    def from_dict(d):
+        return OpponentStats(
+            name=d["name"],
+            step=int(d.get("step", 0)),
+            win_rate=float(d.get("win_rate", 0.5)),
+            games_played=int(d.get("games_played", 0)),
+        )
+
+
+class OpponentPool:
+    def __init__(
+        self,
+        run_dir: str | Path,
+        *,
+        select_alpha: float = 0.1,
+        select_exponent: float = 2.0,
+        max_active: int = 8,
+        cache_size: int = 32,
+        seed: int = 0,
+    ):
+        self.run_dir = Path(run_dir)
+        self.ckpt_dir = self.run_dir / "checkpoints"
+        self.stats_path = self.run_dir / "opponent_stats.json"
+        self.select_alpha = select_alpha
+        self.select_exponent = select_exponent
+        self.max_active = max_active
+        self.stats: Dict[str, OpponentStats] = {}
+        self.active: List[str] = []  # current rotation's opponents (slot order)
+        self._param_cache: OrderedDict = OrderedDict()
+        self._cache_size = cache_size
+        self._pending: Dict[str, Tuple[float, int]] = {}  # name -> (score_sum, n)
+        self._recent_vs: Dict[str, List[float]] = {}  # pairwise swiss scores
+        self._rng = random.Random(seed)
+
+        if self.stats_path.exists():
+            data = json.loads(self.stats_path.read_text())
+            for d in data.get("opponents", []):
+                s = OpponentStats.from_dict(d)
+                self.stats[s.name] = s
+        self.scan_checkpoints()
+
+    # ------------------------------------------------------------------
+    def scan_checkpoints(self) -> None:
+        """Register any checkpoint dirs not yet in the pool (356-405)."""
+        if not self.ckpt_dir.exists():
+            return
+        for p in sorted(self.ckpt_dir.iterdir()):
+            if p.is_dir() and p.name.startswith("step_") and p.name[5:].isdigit():
+                self.add_checkpoint(p.name, int(p.name[5:]))
+
+    def add_checkpoint(self, name: str, step: int) -> None:
+        if name not in self.stats:
+            self.stats[name] = OpponentStats(name=name, step=step)
+
+    def __len__(self) -> int:
+        return len(self.stats)
+
+    # ------------------------------------------------------------------
+    def selection_weights(self) -> Dict[str, float]:
+        """(1 - win_rate)^exponent with numerical floors (432-482)."""
+        weights = {}
+        for name, s in self.stats.items():
+            base = min(max(1.0 - s.win_rate, 1e-6), 1.0)
+            weights[name] = base ** self.select_exponent
+        return weights
+
+    def sample_active(self) -> List[str]:
+        """Weighted sample WITHOUT replacement of this rotation's opponents."""
+        weights = self.selection_weights()
+        names = list(weights)
+        k = min(self.max_active, len(names))
+        chosen: List[str] = []
+        pool = dict(weights)
+        for _ in range(k):
+            total = sum(pool.values())
+            if total <= 0:
+                remaining = [n for n in names if n not in chosen]
+                chosen.extend(remaining[: k - len(chosen)])
+                break
+            r = self._rng.random() * total
+            acc = 0.0
+            pick = None
+            for n, w in pool.items():
+                acc += w
+                if r <= acc:
+                    pick = n
+                    break
+            pick = pick if pick is not None else next(iter(pool))
+            chosen.append(pick)
+            del pool[pick]
+        return chosen
+
+    # ------------------------------------------------------------------
+    def _load_params(self, name: str):
+        if name in self._param_cache:
+            self._param_cache.move_to_end(name)
+            return self._param_cache[name]
+        path = self.ckpt_dir / name
+        network, params, _meta = CheckpointManager.load_model(path)
+        obs_norm = CheckpointManager.load_obs_normalizer(path)
+        entry = (params, obs_norm)
+        self._param_cache[name] = entry
+        while len(self._param_cache) > self._cache_size:
+            self._param_cache.popitem(last=False)
+        return entry
+
+    def refresh_rotation(self) -> Optional[Tuple[Any, Any, List[str]]]:
+        """Sample this rotation's opponents and stack their params.
+
+        Returns (stacked_params, stacked_obs_norm_or_None, names), or None
+        if the pool is empty."""
+        if not self.stats:
+            return None
+        self.active = self.sample_active()
+        loaded = [self._load_params(n) for n in self.active]
+        params_list = [p for p, _ in loaded]
+        norms = [n for _, n in loaded]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *params_list
+        )
+        stacked_norm = None
+        if all(n is not None for n in norms) and norms:
+            stacked_norm = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *norms
+            )
+        return stacked, stacked_norm, list(self.active)
+
+    # ------------------------------------------------------------------
+    def queue_game_result(
+        self, opponent_names: Sequence[str], learner_placement: int,
+        opponent_placements: Sequence[int],
+    ) -> None:
+        """Queue pairwise learner-vs-opponent outcomes (578-616).
+
+        Score from the OPPONENT's perspective: 1 = opponent beat learner,
+        0.5 = tie, 0 = learner beat opponent — this is the opponent's
+        win rate being tracked."""
+        for name, opp_place in zip(opponent_names, opponent_placements):
+            if opp_place < learner_placement:
+                score = 1.0
+            elif opp_place == learner_placement:
+                score = 0.5
+            else:
+                score = 0.0
+            acc, n = self._pending.get(name, (0.0, 0))
+            self._pending[name] = (acc + score, n + 1)
+            self._recent_vs.setdefault(name, []).append(1.0 - score)
+            if len(self._recent_vs[name]) > 200:
+                self._recent_vs[name] = self._recent_vs[name][-200:]
+
+    def apply_pending_updates(self) -> None:
+        """EMA-fold queued results once per rotation (628-653)."""
+        for name, (acc, n) in self._pending.items():
+            if n == 0 or name not in self.stats:
+                continue
+            batch_rate = acc / n
+            s = self.stats[name]
+            s.win_rate = s.win_rate * (1 - self.select_alpha) + batch_rate * self.select_alpha
+            s.games_played += n
+        self._pending.clear()
+        self.save_stats()
+
+    # ------------------------------------------------------------------
+    def get_pool_performance(self, best_name: Optional[str] = None) -> Optional[float]:
+        """Learner's average score in [0, 1] vs the best historical
+        checkpoint (rating-driven when ``best_name`` is given) —
+        exploitability proxy (opponent_pool.rs:921-948)."""
+        if not self._recent_vs:
+            return None
+        candidates = self._recent_vs.get(best_name) if best_name else None
+        if not candidates:
+            allv = [v for vs in self._recent_vs.values() for v in vs]
+            return float(np.mean(allv)) if allv else None
+        return float(np.mean(candidates))
+
+    # ------------------------------------------------------------------
+    def save_stats(self) -> None:
+        tmp = self.stats_path.with_suffix(".json.tmp")
+        tmp.write_text(
+            json.dumps(
+                {"opponents": [s.to_dict() for s in self.stats.values()]}, indent=2
+            )
+        )
+        tmp.rename(self.stats_path)
+
+    def generate_selection_graph(self, output_path: str | Path) -> bool:
+        """Selection-probability bar chart (plotters in the reference,
+        opponent_pool.rs:741-891)."""
+        if not self.stats:
+            return False
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return False
+        weights = self.selection_weights()
+        total = sum(weights.values()) or 1.0
+        items = sorted(self.stats.values(), key=lambda s: s.step)
+        steps = [s.step for s in items]
+        probs = [weights[s.name] / total for s in items]
+        wrs = [s.win_rate for s in items]
+        fig, ax1 = plt.subplots(figsize=(8, 5))
+        ax1.bar(range(len(steps)), probs, color="#4477aa", label="selection prob")
+        ax1.set_xticks(range(len(steps)))
+        ax1.set_xticklabels([str(s) for s in steps], rotation=60, fontsize=7)
+        ax1.set_ylabel("selection probability")
+        ax2 = ax1.twinx()
+        ax2.plot(range(len(steps)), wrs, color="#cc3311", marker="o", ms=3,
+                 label="opponent win rate")
+        ax2.set_ylabel("win rate vs learner")
+        ax2.set_ylim(0, 1)
+        ax1.set_xlabel("checkpoint step")
+        fig.tight_layout()
+        fig.savefig(output_path, dpi=110)
+        plt.close(fig)
+        return True

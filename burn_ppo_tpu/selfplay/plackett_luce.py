@@ -1,0 +1,257 @@
+"""Plackett-Luce maximum-likelihood skill ratings.
+
+Behavioral parity with the reference rating engine
+(src/plackett_luce.rs): multi-player placements expand into weighted
+winner-vs-losers comparisons with fractional tie weights
+(plackett_luce.rs:195-254); gammas fit by the MM algorithm with
+per-iteration centering (271-316, 437-535); uncertainties from the
+reduced Fisher information (anchor excluded) inverted with partial-pivot
+Gaussian elimination (320-425); Elo scale 400/ln10 with the anchor player
+pinned to anchor_elo and CI inflation 1.3 (102-146, 540-607).
+
+Pure NumPy — rating computation is a tiny host-side problem (dozens of
+players), so there is nothing to put on the TPU.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+ELO_SCALE = 400.0 / np.log(10.0)  # ~173.72
+
+
+def gamma_to_elo(gamma: float) -> float:
+    return 1500.0 + ELO_SCALE * gamma
+
+
+def elo_to_gamma(elo: float) -> float:
+    return (elo - 1500.0) / ELO_SCALE
+
+
+@dataclass(frozen=True)
+class GameResult:
+    players: Tuple[int, ...]  # global player indices
+    placements: Tuple[int, ...]  # 1-indexed, ties share
+
+    def __post_init__(self):
+        assert len(self.players) == len(self.placements)
+
+    @staticmethod
+    def of(players: Sequence[int], placements: Sequence[int]) -> "GameResult":
+        return GameResult(tuple(players), tuple(placements))
+
+
+@dataclass
+class PlayerRating:
+    rating: float = 1000.0
+    uncertainty: float = 350.0
+
+    def confidence_interval(self) -> Tuple[float, float]:
+        return (self.rating - 2 * self.uncertainty, self.rating + 2 * self.uncertainty)
+
+
+@dataclass
+class RatingStats:
+    converged: bool = True
+    iterations_used: int = 0
+    final_delta: float = 0.0
+    computation_time_ms: float = 0.0
+
+
+@dataclass
+class RatingResult:
+    ratings: List[PlayerRating]
+    stats: RatingStats
+
+
+@dataclass(frozen=True)
+class PlackettLuceConfig:
+    max_iterations: int = 100
+    convergence_threshold: float = 1e-6
+    epsilon: float = 1e-10
+    anchor_elo: float = 1000.0
+    ci_inflation_factor: float = 1.3
+
+
+@dataclass
+class _Comparison:
+    winner: int
+    losers: List[int]
+    weight: float
+
+
+def expand_games_to_comparisons(games: Sequence[GameResult]) -> List[_Comparison]:
+    """Placements -> weighted winner-beats-losers comparisons; ties share
+    wins fractionally (plackett_luce.rs:195-254)."""
+    comparisons: List[_Comparison] = []
+    for game in games:
+        if len(game.players) <= 1:
+            continue
+        groups: Dict[int, List[int]] = {}
+        for local, placement in enumerate(game.placements):
+            groups.setdefault(placement, []).append(game.players[local])
+        sorted_places = sorted(groups)
+        for pos, place in enumerate(sorted_places):
+            current = groups[place]
+            lower: List[int] = []
+            for later in sorted_places[pos + 1:]:
+                lower.extend(groups[later])
+            if not lower:
+                continue
+            if len(current) == 1:
+                comparisons.append(_Comparison(current[0], lower, 1.0))
+            else:
+                w = 1.0 / len(current)
+                for tied in current:
+                    comparisons.append(_Comparison(tied, list(lower), w))
+    return comparisons
+
+
+def _mm_update(
+    comparisons: List[_Comparison], gammas: np.ndarray, epsilon: float
+) -> np.ndarray:
+    n = len(gammas)
+    wins = np.zeros(n)
+    denom = np.zeros(n)
+    exp_g = np.exp(gammas)
+    for comp in comparisons:
+        wins[comp.winner] += comp.weight
+        participants = [comp.winner] + comp.losers
+        sum_exp = float(exp_g[participants].sum())
+        if sum_exp > epsilon:
+            contribution = comp.weight / sum_exp
+            for p in participants:
+                denom[p] += contribution
+    new = np.array(gammas)
+    for i in range(n):
+        if wins[i] > epsilon and denom[i] > epsilon:
+            new[i] = np.log(wins[i] / denom[i])
+        elif denom[i] > epsilon:
+            new[i] = gammas[i] - 1.0  # participated, never won
+        # else: keep current
+    return new
+
+
+def _compute_hessian(
+    comparisons: List[_Comparison], gammas: np.ndarray
+) -> np.ndarray:
+    n = len(gammas)
+    hess = np.zeros((n, n))
+    for comp in comparisons:
+        participants = np.array([comp.winner] + comp.losers)
+        g = gammas[participants]
+        e = np.exp(g - g.max())
+        probs = e / e.sum()
+        outer = np.outer(probs, probs)
+        local = comp.weight * (np.diag(probs) - outer)
+        hess[np.ix_(participants, participants)] += local
+    return hess
+
+
+def _invert(matrix: np.ndarray, epsilon: float) -> np.ndarray:
+    """Partial-pivot inversion with a high-variance fallback for singular
+    matrices (plackett_luce.rs:361-425)."""
+    n = matrix.shape[0]
+    if n == 0:
+        return matrix
+    aug = np.hstack([matrix.astype(np.float64), np.eye(n)])
+    for col in range(n):
+        pivot_row = col + int(np.argmax(np.abs(aug[col:, col])))
+        aug[[col, pivot_row]] = aug[[pivot_row, col]]
+        if abs(aug[col, col]) < epsilon:
+            return np.eye(n) * 100.0  # near-singular: high-variance fallback
+        aug[col] /= aug[col, col]
+        for row in range(n):
+            if row != col:
+                aug[row] -= aug[row, col] * aug[col]
+    return aug[:, n:]
+
+
+def compute_ratings(
+    num_players: int,
+    games: Sequence[GameResult],
+    anchor_player_idx: int,
+    config: PlackettLuceConfig = PlackettLuceConfig(),
+) -> RatingResult:
+    t0 = time.perf_counter()
+
+    def _done(ratings, converged=True, iters=0, delta=0.0):
+        return RatingResult(
+            ratings,
+            RatingStats(
+                converged=converged,
+                iterations_used=iters,
+                final_delta=delta,
+                computation_time_ms=(time.perf_counter() - t0) * 1000.0,
+            ),
+        )
+
+    if num_players == 0:
+        return _done([])
+    games = list(games)
+    if not games:
+        return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
+
+    games_played = np.zeros(num_players, dtype=int)
+    for g in games:
+        for p in g.players:
+            if p < num_players:
+                games_played[p] += 1
+
+    comparisons = expand_games_to_comparisons(games)
+    if not comparisons:
+        return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
+
+    gammas = np.zeros(num_players)
+    converged, iters, delta = False, 0, float("inf")
+    for it in range(config.max_iterations):
+        iters = it + 1
+        new = _mm_update(comparisons, gammas, config.epsilon)
+        new -= new.mean()  # center to prevent drift
+        delta = float(np.max(np.abs(new - gammas)))
+        gammas = new
+        if delta < config.convergence_threshold:
+            converged = True
+            break
+        if not np.all(np.isfinite(gammas)):
+            gammas = np.zeros(num_players)
+            break
+
+    anchor = anchor_player_idx
+    hess = _compute_hessian(comparisons, gammas)
+    active = [i for i in range(num_players) if games_played[i] > 0 and i != anchor]
+    reduced = hess[np.ix_(active, active)] + np.eye(len(active)) * 1e-6
+    cov = _invert(reduced, config.epsilon)
+
+    uncertainties = np.full(num_players, 2.0)
+    uncertainties[anchor] = 0.0
+    for ri, orig in enumerate(active):
+        if cov[ri, ri] > 0:
+            uncertainties[orig] = np.sqrt(cov[ri, ri])
+
+    shift = elo_to_gamma(config.anchor_elo) - gammas[anchor]
+    ratings = []
+    for i in range(num_players):
+        if games_played[i] > 0:
+            ratings.append(
+                PlayerRating(
+                    rating=gamma_to_elo(gammas[i] + shift),
+                    uncertainty=ELO_SCALE * uncertainties[i] * config.ci_inflation_factor,
+                )
+            )
+        else:
+            ratings.append(PlayerRating(config.anchor_elo, 350.0))
+    return _done(ratings, converged, iters, delta)
+
+
+def print_rating_guide() -> None:
+    print()
+    print("Rating Guide (Plackett-Luce / Elo scale):")
+    print("  Win probability: +100 pts -> 64% | +200 -> 76% | +400 -> 91% | +800 -> 99%")
+    print("  Uncertainty (sigma): high = few games, may shift. Low = stable rating.")
+    print("  Comparing: if 95% CIs (rating +/- 2*sigma) overlap, difference may not be significant.")
+    print("  Lowest-rated player anchored at 1000.")

@@ -1,0 +1,182 @@
+"""During-training Elo tracking from vs-pool games.
+
+Parity with the reference (src/rating_history.rs): every game played
+against a pool opponent is appended to ``rating_games.jsonl``
+(+`rating_metadata.json`); full Plackett-Luce ratings are recomputed at
+each checkpoint; the first checkpoint anchors at 1000; the reported
+"current" Elo is the second-to-last checkpoint (the latest hasn't played
+rating games yet, rating_history.rs:313-319); ratings drive the ``best``
+symlink and an ``elo_graph.png`` (matplotlib instead of plotters).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+from burn_ppo_tpu.selfplay.plackett_luce import (
+    GameResult,
+    PlackettLuceConfig,
+    compute_ratings,
+)
+
+
+@dataclass
+class RatingSnapshot:
+    current_elo: float = 1000.0
+    best_elo: float = 1000.0
+    best_step: int = 0
+    total_games: int = 0
+    computation_time_ms: float = 0.0
+
+
+class RatingHistory:
+    def __init__(self, run_dir: str | Path):
+        self.run_dir = Path(run_dir)
+        self.games_path = self.run_dir / "rating_games.jsonl"
+        self.metadata_path = self.run_dir / "rating_metadata.json"
+        self.games: List[dict] = []
+        self.checkpoint_to_idx: Dict[str, int] = {}
+        self.idx_to_checkpoint: List[str] = []
+        self.idx_to_step: List[int] = []
+        self.first_checkpoint_idx: Optional[int] = None
+        self.current_checkpoint: Optional[str] = None
+        self._cached_ratings: Optional[List[float]] = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def load(run_dir: str | Path) -> "RatingHistory":
+        h = RatingHistory(run_dir)
+        if h.metadata_path.exists():
+            meta = json.loads(h.metadata_path.read_text())
+            for name, step in meta.get("checkpoint_steps", {}).items():
+                h._register(name, int(step))
+            first = meta.get("first_checkpoint")
+            if first in h.checkpoint_to_idx:
+                h.first_checkpoint_idx = h.checkpoint_to_idx[first]
+            h.current_checkpoint = meta.get("current_checkpoint")
+        if h.games_path.exists():
+            for line in h.games_path.read_text().splitlines():
+                if not line.strip():
+                    continue
+                game = json.loads(line)
+                h.games.append(game)
+                h._register(game["current"], 0)
+                for o in game["opponents"]:
+                    h._register(o, 0)
+        return h
+
+    def _register(self, name: str, step: int) -> int:
+        if name in self.checkpoint_to_idx:
+            return self.checkpoint_to_idx[name]
+        idx = len(self.idx_to_checkpoint)
+        self.checkpoint_to_idx[name] = idx
+        self.idx_to_checkpoint.append(name)
+        self.idx_to_step.append(step)
+        return idx
+
+    def _save_metadata(self) -> None:
+        meta = {
+            "checkpoint_steps": {
+                name: self.idx_to_step[i]
+                for name, i in self.checkpoint_to_idx.items()
+            },
+            "first_checkpoint": (
+                self.idx_to_checkpoint[self.first_checkpoint_idx]
+                if self.first_checkpoint_idx is not None
+                else None
+            ),
+            "current_checkpoint": self.current_checkpoint,
+        }
+        tmp = self.metadata_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(meta, indent=2))
+        tmp.rename(self.metadata_path)
+
+    # ------------------------------------------------------------------
+    def record_game(
+        self, current: str, opponents: Sequence[str], placements: Sequence[int]
+    ) -> None:
+        """Append one vs-pool game: placements = [current, *opponents]."""
+        self._register(current, 0)
+        for o in opponents:
+            self._register(o, 0)
+        game = {
+            "current": current,
+            "opponents": list(opponents),
+            "placements": [int(p) for p in placements],
+        }
+        self.games.append(game)
+        self._cached_ratings = None
+        with open(self.games_path, "a") as f:
+            f.write(json.dumps(game) + "\n")
+
+    def on_checkpoint_saved(self, checkpoint_name: str, step: int) -> None:
+        idx = self._register(checkpoint_name, step)
+        if self.first_checkpoint_idx is None:
+            self.first_checkpoint_idx = idx
+        self.idx_to_step[idx] = step
+        self.current_checkpoint = checkpoint_name
+        self._cached_ratings = None
+        self._save_metadata()
+
+    # ------------------------------------------------------------------
+    def compute(self) -> RatingSnapshot:
+        n = len(self.idx_to_checkpoint)
+        if n == 0 or not self.games:
+            self._cached_ratings = []
+            return RatingSnapshot()
+
+        pl_games = []
+        for game in self.games:
+            players = [self.checkpoint_to_idx[game["current"]]] + [
+                self.checkpoint_to_idx[o] for o in game["opponents"]
+            ]
+            pl_games.append(GameResult.of(players, game["placements"]))
+
+        result = compute_ratings(n, pl_games, 0, PlackettLuceConfig())
+        raw = [r.rating for r in result.ratings]
+        first = self.first_checkpoint_idx or 0
+        shift = 1000.0 - raw[first]
+        adjusted = [r + shift for r in raw]
+        self._cached_ratings = adjusted
+
+        best_idx = max(range(n), key=lambda i: adjusted[i])
+        current_idx = max(n - 2, 0)
+        return RatingSnapshot(
+            current_elo=adjusted[current_idx],
+            best_elo=adjusted[best_idx],
+            best_step=self.idx_to_step[best_idx],
+            total_games=len(self.games),
+            computation_time_ms=result.stats.computation_time_ms,
+        )
+
+    # ------------------------------------------------------------------
+    def generate_graph(self, output_path: str | Path) -> bool:
+        """Elo-over-steps PNG (reference uses plotters; we use matplotlib
+        if available, silently skipping otherwise)."""
+        if self._cached_ratings is None:
+            self.compute()
+        if not self._cached_ratings:
+            return False
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return False
+        pairs = sorted(zip(self.idx_to_step, self._cached_ratings))
+        steps = [p[0] for p in pairs]
+        elos = [p[1] for p in pairs]
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.plot(steps, elos, marker="o", ms=3)
+        ax.set_xlabel("training step")
+        ax.set_ylabel("Elo (PL, first checkpoint = 1000)")
+        ax.set_title("Self-play rating over training")
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(output_path, dpi=110)
+        plt.close(fig)
+        return True

@@ -6,6 +6,12 @@ the first three phases fuse into ONE jitted `train_step` that never
 leaves the device; the host loop only evaluates schedules, logs metrics,
 and writes checkpoints.
 
+Self-play with an opponent pool follows the reference's wiring
+(main.rs:564-825): a fraction of envs plays vs sampled historical
+checkpoints, game results feed EMA win rates and the Plackett-Luce
+rating history, and ratings drive the ``best`` symlink for multiplayer
+runs (main.rs:1348-1353).
+
 Fresh/Resume/Fork modes (main.rs:151-161), checkpoint cadence + best
 tracking (main.rs:1226-1418), per-player episode metrics
 (main.rs:1026-1223) and the perf/* timing series (main.rs:530-533,
@@ -41,6 +47,10 @@ from burn_ppo_tpu.ppo.normalization import (
     PopArtState,
     obs_norm_apply,
     obs_norm_update,
+)
+from burn_ppo_tpu.ppo.pool_rollout import (
+    PoolSeating,
+    collect_rollouts_with_opponents,
 )
 from burn_ppo_tpu.ppo.rollout import (
     RolloutCarry,
@@ -80,14 +90,8 @@ def build_network_for_env(env: Environment, cfg: Config) -> ActorCriticNetwork:
     )
 
 
-def make_train_step(
-    network: ActorCriticNetwork, env: Environment, cfg: Config, tx
-):
-    """Build the fused rollout -> GAE -> PPO-update step, to be jitted."""
-    P_ = env.spec.num_players
-    multiplayer = P_ > 1
-    normalize_returns = cfg.effective_normalize_returns(P_)
-    ucfg = PPOUpdateConfig(
+def _update_cfg(cfg: Config) -> PPOUpdateConfig:
+    return PPOUpdateConfig(
         clip_epsilon=cfg.clip_epsilon,
         clip_value=cfg.clip_value,
         value_coef=cfg.value_coef,
@@ -99,101 +103,111 @@ def make_train_step(
         normalize_values=cfg.normalize_values,
     )
 
+
+def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
+    """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
+    flatten, PPO update. Returns (new_state, metrics)."""
+    multiplayer = env.spec.num_players > 1
+    ucfg = _update_cfg(cfg)
+
+    # Lagged obs-normalizer advance: stats absorb this rollout's raw batch
+    # AFTER collection (ppo.rs:495-497); the bootstrap forward then uses
+    # the updated stats (main.rs:878-883).
+    obs_norm_new = (
+        obs_norm_update(state.obs_norm, batch.obs)
+        if state.obs_norm is not None
+        else None
+    )
+    last_values, last_vpp = bootstrap_values(
+        network, env, state.params, carry, obs_norm_new, state.popart
+    )
+
+    if multiplayer:
+        advantages, returns = compute_gae_multiplayer(
+            batch.all_rewards, batch.values, batch.dones,
+            batch.acting_players, last_vpp, cfg.gamma, cfg.gae_lambda,
+        )
+    else:
+        advantages, returns = compute_gae(
+            batch.rewards, batch.values, batch.dones, last_values,
+            cfg.gamma, cfg.gae_lambda,
+        )
+
+    T, E = batch.actions.shape
+    N = T * E
+    obs_for_update = (
+        obs_norm_apply(state.obs_norm, batch.obs)
+        if state.obs_norm is not None
+        else batch.obs
+    )
+    data = {
+        "obs": obs_for_update.reshape(N, -1),
+        "actions": batch.actions.reshape(N),
+        "old_log_probs": batch.log_probs.reshape(N),
+        "advantages": advantages.reshape(N),
+        "returns": returns.reshape(N),
+        "old_values": batch.values.reshape(N),
+        "valid": batch.valid_mask.reshape(N),
+    }
+    if batch.privileged_obs is not None:
+        data["privileged_obs"] = batch.privileged_obs.reshape(N, -1)
+    if batch.action_masks is not None:
+        data["action_masks"] = batch.action_masks.reshape(N, env.spec.num_actions)
+
+    key, sub = jax.random.split(state.update_key)
+    params, opt_state, popart, metrics = ppo_update(
+        network, tx, state.params, state.opt_state, data, state.popart,
+        sub, lr, ent_coef, ucfg,
+    )
+    if popart is not None:
+        metrics["value_norm/mean"] = popart.mean
+        metrics["value_norm/std"] = popart.std
+
+    new_state = TrainState(
+        params=params, opt_state=opt_state, carry=carry,
+        obs_norm=obs_norm_new, popart=popart, update_key=key,
+    )
+    return new_state, metrics
+
+
+def make_train_step(network: ActorCriticNetwork, env: Environment, cfg: Config, tx):
+    """Fused self-play rollout -> GAE -> PPO update, to be jitted."""
+    normalize_returns = cfg.effective_normalize_returns(env.spec.num_players)
+
     def train_step(state: TrainState, lr, ent_coef):
         carry, batch, logs = collect_rollouts(
-            network,
-            env,
-            state.params,
-            state.carry,
-            state.obs_norm,
+            network, env, state.params, state.carry, state.obs_norm,
             state.popart,
-            num_steps=cfg.num_steps,
-            gamma=cfg.gamma,
-            normalize_returns=normalize_returns,
-            return_clip=cfg.return_clip,
+            num_steps=cfg.num_steps, gamma=cfg.gamma,
+            normalize_returns=normalize_returns, return_clip=cfg.return_clip,
         )
-
-        # Lagged obs-normalizer advance: stats absorb this rollout's raw
-        # batch AFTER it was collected (ppo.rs:495-497); the bootstrap
-        # forward then uses the updated stats (main.rs:878-883).
-        obs_norm_new = (
-            obs_norm_update(state.obs_norm, batch.obs)
-            if state.obs_norm is not None
-            else None
-        )
-        last_values, last_vpp = bootstrap_values(
-            network, env, state.params, carry, obs_norm_new, state.popart
-        )
-
-        if multiplayer:
-            advantages, returns = compute_gae_multiplayer(
-                batch.all_rewards,
-                batch.values,
-                batch.dones,
-                batch.acting_players,
-                last_vpp,
-                cfg.gamma,
-                cfg.gae_lambda,
-            )
-        else:
-            advantages, returns = compute_gae(
-                batch.rewards,
-                batch.values,
-                batch.dones,
-                last_values,
-                cfg.gamma,
-                cfg.gae_lambda,
-            )
-
-        T, E = batch.actions.shape
-        N = T * E
-        obs_for_update = (
-            obs_norm_apply(state.obs_norm, batch.obs)
-            if state.obs_norm is not None
-            else batch.obs
-        )
-        data = {
-            "obs": obs_for_update.reshape(N, -1),
-            "actions": batch.actions.reshape(N),
-            "old_log_probs": batch.log_probs.reshape(N),
-            "advantages": advantages.reshape(N),
-            "returns": returns.reshape(N),
-            "old_values": batch.values.reshape(N),
-            "valid": batch.valid_mask.reshape(N),
-        }
-        if batch.privileged_obs is not None:
-            data["privileged_obs"] = batch.privileged_obs.reshape(N, -1)
-        if batch.action_masks is not None:
-            data["action_masks"] = batch.action_masks.reshape(
-                N, env.spec.num_actions
-            )
-
-        key, sub = jax.random.split(state.update_key)
-        params, opt_state, popart, metrics = ppo_update(
-            network,
-            tx,
-            state.params,
-            state.opt_state,
-            data,
-            state.popart,
-            sub,
-            lr,
-            ent_coef,
-            ucfg,
-        )
-        if popart is not None:
-            metrics["value_norm/mean"] = popart.mean
-            metrics["value_norm/std"] = popart.std
-
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            carry=carry,
-            obs_norm=obs_norm_new,
-            popart=popart,
-            update_key=key,
+        new_state, metrics = _finish_step(
+            network, env, cfg, tx, state, carry, batch, lr, ent_coef
         )
         return new_state, metrics, logs
+
+    return train_step
+
+
+def make_pool_train_step(
+    network: ActorCriticNetwork, env: Environment, cfg: Config, tx,
+    num_learner_envs: int, num_slots: int,
+):
+    """Vs-pool variant: K stacked opponents act on the pool-env block."""
+
+    def train_step(state: TrainState, seating: PoolSeating, opp_params,
+                   opp_obs_norm, lr, ent_coef):
+        carry, seat_out, batch, pool_logs = collect_rollouts_with_opponents(
+            network, env, state.params, opp_params, opp_obs_norm,
+            state.carry, seating, state.obs_norm, state.popart,
+            num_steps=cfg.num_steps,
+            num_learner_envs=num_learner_envs,
+            num_slots=num_slots,
+        )
+        new_state, metrics = _finish_step(
+            network, env, cfg, tx, state, carry, batch, lr, ent_coef
+        )
+        return new_state, seat_out, metrics, pool_logs
 
     return train_step
 
@@ -211,15 +225,26 @@ class EpisodeTracker:
         self.recent_lengths = deque(maxlen=100)
         self.recent_outcomes = deque(maxlen=100)  # placement vectors
         self.total_episodes = 0
-        self.window_episodes = 0  # since last log
+        self.window_episodes = 0
 
-    def ingest(self, logs) -> None:
-        completed = np.asarray(logs.completed).reshape(-1)
-        if not completed.any():
+    def ingest(self, logs, env_limit: Optional[int] = None) -> None:
+        """Fold completed episodes in; ``env_limit`` restricts to the
+        self-play env block (pool envs have shuffled seat semantics)."""
+        completed = np.asarray(logs.completed)  # [T, E]
+        totals = np.asarray(logs.total_rewards)  # [T, E, P]
+        lengths = np.asarray(logs.length)
+        outcomes = np.asarray(logs.outcome)
+        if env_limit is not None:
+            completed = completed[:, :env_limit]
+            totals = totals[:, :env_limit]
+            lengths = lengths[:, :env_limit]
+            outcomes = outcomes[:, :env_limit]
+        done = completed.reshape(-1)
+        if not done.any():
             return
-        totals = np.asarray(logs.total_rewards).reshape(-1, self.num_players)[completed]
-        lengths = np.asarray(logs.length).reshape(-1)[completed]
-        outcomes = np.asarray(logs.outcome).reshape(-1, self.num_players)[completed]
+        totals = totals.reshape(-1, self.num_players)[done]
+        lengths = lengths.reshape(-1)[done]
+        outcomes = outcomes.reshape(-1, self.num_players)[done]
         for i in range(totals.shape[0]):
             self.recent_returns.append(float(totals[i, 0]))
             for p in range(self.num_players):
@@ -257,21 +282,16 @@ class Trainer:
         self.num_devices = self.mesh.devices.size
         self.num_envs = cfg.resolve_num_envs(self.num_devices)
 
-        env_kwargs = {}
-        self.env = make_env(cfg.env, **env_kwargs)
+        self.env = make_env(cfg.env)
         if self.env.spec.variable_player_count:
             self.env = self.env.with_num_players(cfg.player_count.get_fixed_count())
         self.num_players = self.env.spec.num_players
         self.network = build_network_for_env(self.env, cfg)
-        self.tx = make_optimizer(
-            PPOUpdateConfig(
-                max_grad_norm=cfg.max_grad_norm, adam_epsilon=cfg.adam_epsilon
-            )
-        )
+        self.tx = make_optimizer(_update_cfg(cfg))
 
         self.seed = cfg.seed if cfg.seed is not None else int(time.time()) % (2**31)
         root_key = jax.random.PRNGKey(self.seed)
-        k_params, k_carry, k_update = jax.random.split(root_key, 3)
+        k_params, k_carry, k_update, k_seat = jax.random.split(root_key, 4)
 
         params = self.network.init(k_params)
         opt_state = self.tx.init(params)
@@ -298,13 +318,11 @@ class Trainer:
         carry = shard_rollout_carry(carry, self.mesh)
 
         self.state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            carry=carry,
-            obs_norm=obs_norm,
-            popart=popart,
+            params=params, opt_state=opt_state, carry=carry,
+            obs_norm=obs_norm, popart=popart,
             update_key=jax.device_put(
-                k_update, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+                k_update,
+                jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
             ),
         )
 
@@ -313,6 +331,33 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        # ---- opponent-pool stack (multiplayer only, main.rs:564-654) ----
+        self.pool: Optional[Any] = None
+        self.rating_history: Optional[Any] = None
+        self.seating = None
+        self._pool_steps: Dict[int, Any] = {}  # K -> jitted step
+        self.num_learner_envs = self.num_envs
+        if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
+            from burn_ppo_tpu.selfplay.opponent_pool import OpponentPool
+            from burn_ppo_tpu.selfplay.rating_history import RatingHistory
+
+            pool_envs = int(round(self.num_envs * cfg.opponent_pool_fraction))
+            pool_envs = min(max(pool_envs, 1), self.num_envs - 1) if self.num_envs > 1 else 0
+            self.num_learner_envs = self.num_envs - pool_envs
+            self.pool = OpponentPool(
+                self.run_dir,
+                select_alpha=cfg.opponent_select_alpha,
+                select_exponent=cfg.opponent_select_exponent,
+                max_active=cfg.max_active_opponents,
+                seed=self.seed,
+            )
+            self.rating_history = RatingHistory.load(self.run_dir)
+            self.seating = PoolSeating.create(
+                self.num_envs, self.num_learner_envs, self.num_players,
+                num_slots=1, key=k_seat,
+            )
+        self._last_elo: Dict[str, float] = {}
+
         self.metrics = MetricsLogger(self.run_dir)
         self.tracker = EpisodeTracker(self.num_players)
         for r in getattr(self, "_restored_recent", []):
@@ -320,12 +365,9 @@ class Trainer:
         self.adaptive_entropy = None
         if cfg.adaptive_entropy is not None:
             self.adaptive_entropy = AdaptiveEntropyController(
-                cfg.adaptive_entropy,
-                self.env.spec.num_actions,
-                cfg.entropy_coef.get(0),
-                cfg.adaptive_entropy_min_coef,
-                cfg.adaptive_entropy_max_coef,
-                cfg.adaptive_entropy_delta,
+                cfg.adaptive_entropy, self.env.spec.num_actions,
+                cfg.entropy_coef.get(0), cfg.adaptive_entropy_min_coef,
+                cfg.adaptive_entropy_max_coef, cfg.adaptive_entropy_delta,
             )
         self.forked_from = forked_from_run or cfg.forked_from
 
@@ -345,8 +387,7 @@ class Trainer:
             ckpt_dir, "return_norm", carry.return_norm
         )
         rng = CheckpointManager.load_component(
-            ckpt_dir,
-            "rng_state",
+            ckpt_dir, "rng_state",
             {"update_key": jax.random.PRNGKey(0), "carry_key": jax.random.PRNGKey(0)},
         )
         if ret_norm is not None:
@@ -373,6 +414,10 @@ class Trainer:
                 "carry_key": state.carry.key,
             },
         }
+        exploitability = None
+        if self.pool is not None:
+            perf = self.pool.get_pool_performance(self._best_ckpt_name())
+            exploitability = None if perf is None else 1.0 - perf
         meta = build_metadata(
             step=self.global_step,
             env_name=self.cfg.env,
@@ -387,16 +432,84 @@ class Trainer:
             rng_seed=self.seed,
             normalize_obs=self.cfg.normalize_obs,
             normalize_values=self.cfg.normalize_values,
+            exploitability_vs_pool=exploitability,
         )
-        path = self.ckpt.save(
-            self.global_step, state.params, state.opt_state, aux, meta
-        )
-        # Single-player best = avg-return-driven (main.rs:659, 1276);
-        # multiplayer best is rating-driven and set by the self-play stack.
-        if self.num_players == 1 and self.tracker.avg_return > self.best_avg_return:
-            self.best_avg_return = self.tracker.avg_return
-            self.ckpt.set_best(self.global_step)
+        path = self.ckpt.save(self.global_step, state.params, state.opt_state, aux, meta)
+
+        if self.num_players == 1:
+            # Single-player best = avg-return-driven (main.rs:659, 1276).
+            if self.tracker.avg_return > self.best_avg_return:
+                self.best_avg_return = self.tracker.avg_return
+                self.ckpt.set_best(self.global_step)
+        if self.pool is not None:
+            name = path.name
+            self.pool.add_checkpoint(name, self.global_step)
+            self.rating_history.on_checkpoint_saved(name, self.global_step)
+            snap = self.rating_history.compute()
+            self._last_elo = {
+                "train/current_elo": snap.current_elo,
+                "train/best_elo": snap.best_elo,
+                "train/best_step": float(snap.best_step),
+                "train/rating_games": float(snap.total_games),
+                "train/elo_compute_ms": snap.computation_time_ms,
+            }
+            # Rating-driven best symlink for multiplayer (main.rs:1348-1353).
+            if snap.total_games > 0 and self.ckpt.step_dir(snap.best_step).exists():
+                self.ckpt.set_best(snap.best_step)
+            self.rating_history.generate_graph(self.run_dir / "elo_graph.png")
+            self.pool.generate_selection_graph(
+                self.run_dir / "selection_probability.png"
+            )
         return path
+
+    def _best_ckpt_name(self) -> Optional[str]:
+        best = self.ckpt.resolve("best")
+        return best.name if best else None
+
+    # ------------------------------------------------------------------
+    def _get_pool_step(self, num_slots: int):
+        if num_slots not in self._pool_steps:
+            self._pool_steps[num_slots] = jax.jit(
+                make_pool_train_step(
+                    self.network, self.env, self.cfg, self.tx,
+                    self.num_learner_envs, num_slots,
+                ),
+                donate_argnums=(0, 1),
+            )
+        return self._pool_steps[num_slots]
+
+    def _process_pool_logs(self, pool_logs, active_names) -> None:
+        """Queue win-rate + rating games from completed pool-env episodes
+        (reference main.rs:756-825)."""
+        ep = pool_logs.episode
+        completed = np.asarray(ep.completed)  # [T, E]
+        outcomes = np.asarray(ep.outcome)  # [T, E, P]
+        seats = np.asarray(pool_logs.learner_seat)  # [T, E]
+        slots = np.asarray(pool_logs.seat_opp)  # [T, E, P]
+        L = self.num_learner_envs
+        current = self.rating_history.current_checkpoint
+        for t, e in zip(*np.nonzero(completed)):
+            if e < L:
+                continue  # self-play env
+            seat = int(seats[t, e])
+            if seat < 0:
+                continue
+            placements = outcomes[t, e]
+            opp_names, opp_places = [], []
+            for s in range(self.num_players):
+                if s == seat:
+                    continue
+                slot = int(slots[t, e, s])
+                if slot < len(active_names):
+                    opp_names.append(active_names[slot])
+                    opp_places.append(int(placements[s]))
+            if not opp_names:
+                continue
+            self.pool.queue_game_result(opp_names, int(placements[seat]), opp_places)
+            if current is not None:
+                self.rating_history.record_game(
+                    current, opp_names, [int(placements[seat])] + opp_places
+                )
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
@@ -423,7 +536,6 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         next_log = self.global_step + cfg.log_freq
         next_ckpt = self.global_step + cfg.checkpoint_freq
-        rollout_t = update_t = 0.0
 
         try:
             while self.global_step < cfg.total_steps:
@@ -442,15 +554,35 @@ class Trainer:
                     ent_target = 0.0
 
                 t0 = time.time()
-                self.state, metrics, logs = self._train_step(
-                    self.state,
-                    jnp.asarray(lr, jnp.float32),
-                    jnp.asarray(ent_coef, jnp.float32),
-                )
+                rotation = self.pool.refresh_rotation() if self.pool else None
+                if rotation is not None:
+                    opp_params, opp_norm, active_names = rotation
+                    K = len(active_names)
+                    if int(self.seating.seat_opp.max()) >= K:
+                        # remap stale slots into range after K shrank
+                        self.seating = self.seating.replace(
+                            seat_opp=self.seating.seat_opp % K
+                        )
+                    step_fn = self._get_pool_step(K)
+                    self.state, self.seating, metrics, pool_logs = step_fn(
+                        self.state, self.seating, opp_params, opp_norm,
+                        jnp.asarray(lr, jnp.float32),
+                        jnp.asarray(ent_coef, jnp.float32),
+                    )
+                    pool_logs = jax.device_get(pool_logs)
+                    self._process_pool_logs(pool_logs, active_names)
+                    self.pool.apply_pending_updates()
+                    self.tracker.ingest(pool_logs.episode, env_limit=self.num_learner_envs)
+                else:
+                    self.state, metrics, logs = self._train_step(
+                        self.state,
+                        jnp.asarray(lr, jnp.float32),
+                        jnp.asarray(ent_coef, jnp.float32),
+                    )
+                    self.tracker.ingest(jax.device_get(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 step_time = time.time() - t0
 
-                self.tracker.ingest(jax.device_get(logs))
                 self.global_step += steps_per_update
                 last_metrics = metrics
 
@@ -468,7 +600,6 @@ class Trainer:
                     next_ckpt = self.global_step + cfg.checkpoint_freq
                     self.save_checkpoint()
 
-            # Final checkpoint (always, like the reference's end-of-run save)
             self.save_checkpoint()
         finally:
             if prev_handler is not None:
@@ -519,6 +650,12 @@ class Trainer:
             log("value_norm/mean", m["value_norm/mean"], step)
             log("value_norm/std", m["value_norm/std"], step)
         log("perf/sps", sps, step)
+        for name, value in self._last_elo.items():
+            log(name, value, step)
+        if self.pool is not None:
+            perf = self.pool.get_pool_performance(self._best_ckpt_name())
+            if perf is not None:
+                log("eval/pool_performance", perf, step)
 
         tr = self.tracker
         if tr.recent_returns:
@@ -546,10 +683,13 @@ class Trainer:
 
     def _print_progress(self, m, sps) -> None:
         pct = 100.0 * self.global_step / max(self.cfg.total_steps, 1)
+        extra = ""
+        if self._last_elo:
+            extra = f" elo={self._last_elo['train/current_elo']:.0f}"
         print(
             f"[{self.cfg.env}] step {self.global_step:>10,} ({pct:5.1f}%) "
             f"sps={sps:>9,.0f} return={self.tracker.avg_return:8.2f} "
             f"kl={m['approx_kl']:.4f} ent={m['entropy']:.3f} "
-            f"ev={m['explained_variance']:.2f}",
+            f"ev={m['explained_variance']:.2f}{extra}",
             flush=True,
         )
