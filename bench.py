@@ -87,14 +87,15 @@ def main() -> int:
 
     lr = jnp.asarray(1e-3, jnp.float32)
     ec = jnp.asarray(0.01, jnp.float32)
+    sc = jnp.asarray(0.0, jnp.float32)
 
     # Warmup / compile
-    state, metrics, _ = train_step(state, lr, ec)
+    state, metrics, _ = train_step(state, lr, ec, sc)
     jax.block_until_ready(metrics["policy_loss"])
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics, _ = train_step(state, lr, ec)
+        state, metrics, _ = train_step(state, lr, ec, sc)
     jax.block_until_ready(metrics["policy_loss"])
     dt = time.perf_counter() - t0
 

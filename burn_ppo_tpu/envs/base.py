@@ -59,6 +59,10 @@ class Environment:
     """Base class: subclasses provide pure functions over their state."""
 
     spec: EnvSpec
+    # State fields preserved across auto-resets and settable per rollout by
+    # the trainer (e.g. a scheduled reward-shaping coefficient — the
+    # reference's set_step + Schedule mechanism, env.rs:167-172).
+    context_fields: Tuple[str, ...] = ()
 
     # -- core ----------------------------------------------------------
     def reset(self, key: jax.Array) -> State:
@@ -185,6 +189,11 @@ def autoreset_step(
     )
 
     fresh = env.reset(reset_key)
+    # Preserve trainer-set context (e.g. shaping coefficient) across resets.
+    if env.context_fields:
+        fresh = fresh.replace(
+            **{f: getattr(stepped, f) for f in env.context_fields}
+        )
     next_state = tree_select(done, fresh, stepped)
     next_acc = EpisodeAccumulator(
         reward_sum=jnp.where(done, jnp.zeros_like(new_sum), new_sum),

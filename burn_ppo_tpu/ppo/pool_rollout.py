@@ -89,8 +89,18 @@ def collect_rollouts_with_opponents(
     num_learner_envs: int,
     num_slots: int,
     obs_clip: float = 10.0,
+    env_context: Optional[dict] = None,
 ) -> Tuple[RolloutCarry, PoolSeating, RolloutBatch, PoolStepLog]:
     E = carry.last_value_per_player.shape[0]
+    if env_context:
+        states = carry.env_states
+        states = states.replace(
+            **{
+                f: jnp.full(getattr(states, f).shape, v, getattr(states, f).dtype)
+                for f, v in env_context.items()
+            }
+        )
+        carry = carry.replace(env_states=states)
     P = env.spec.num_players
     L = num_learner_envs
     Ep = E - L

@@ -106,12 +106,24 @@ def collect_rollouts(
     return_clip: float = 10.0,
     collect_masks: bool = True,
     obs_clip: float = 10.0,
+    env_context: Optional[dict] = None,
 ) -> Tuple[RolloutCarry, RolloutBatch, EpisodeLog]:
     """Pure self-play / single-player rollout (learner acts every turn).
 
+    ``env_context``: scalar values broadcast into the env states' context
+    fields before the rollout (e.g. the scheduled reward-shaping coef).
     Returns (carry', batch, episode_logs [T, E]).
     """
     E = carry.last_value_per_player.shape[0]
+    if env_context:
+        states = carry.env_states
+        states = states.replace(
+            **{
+                f: jnp.full(getattr(states, f).shape, v, getattr(states, f).dtype)
+                for f, v in env_context.items()
+            }
+        )
+        carry = carry.replace(env_states=states)
     P = env.spec.num_players
     collect_priv = network.is_ctde
 

@@ -173,13 +173,16 @@ def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
 def make_train_step(network: ActorCriticNetwork, env: Environment, cfg: Config, tx):
     """Fused self-play rollout -> GAE -> PPO update, to be jitted."""
     normalize_returns = cfg.effective_normalize_returns(env.spec.num_players)
+    has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
-    def train_step(state: TrainState, lr, ent_coef):
+    def train_step(state: TrainState, lr, ent_coef, shaping_coef):
+        ctx = {"shaping_coef": shaping_coef} if has_shaping else None
         carry, batch, logs = collect_rollouts(
             network, env, state.params, state.carry, state.obs_norm,
             state.popart,
             num_steps=cfg.num_steps, gamma=cfg.gamma,
             normalize_returns=normalize_returns, return_clip=cfg.return_clip,
+            env_context=ctx,
         )
         new_state, metrics = _finish_step(
             network, env, cfg, tx, state, carry, batch, lr, ent_coef
@@ -194,15 +197,18 @@ def make_pool_train_step(
     num_learner_envs: int, num_slots: int,
 ):
     """Vs-pool variant: K stacked opponents act on the pool-env block."""
+    has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
     def train_step(state: TrainState, seating: PoolSeating, opp_params,
-                   opp_obs_norm, lr, ent_coef):
+                   opp_obs_norm, lr, ent_coef, shaping_coef):
+        ctx = {"shaping_coef": shaping_coef} if has_shaping else None
         carry, seat_out, batch, pool_logs = collect_rollouts_with_opponents(
             network, env, state.params, opp_params, opp_obs_norm,
             state.carry, seating, state.obs_norm, state.popart,
             num_steps=cfg.num_steps,
             num_learner_envs=num_learner_envs,
             num_slots=num_slots,
+            env_context=ctx,
         )
         new_state, metrics = _finish_step(
             network, env, cfg, tx, state, carry, batch, lr, ent_coef
@@ -553,6 +559,8 @@ class Trainer:
                     ent_coef = cfg.entropy_coef.get(self.global_step)
                     ent_target = 0.0
 
+                shaping = cfg.reward_shaping_coef.get(self.global_step)
+
                 t0 = time.time()
                 rotation = self.pool.refresh_rotation() if self.pool else None
                 if rotation is not None:
@@ -568,6 +576,7 @@ class Trainer:
                         self.state, self.seating, opp_params, opp_norm,
                         jnp.asarray(lr, jnp.float32),
                         jnp.asarray(ent_coef, jnp.float32),
+                        jnp.asarray(shaping, jnp.float32),
                     )
                     pool_logs = jax.device_get(pool_logs)
                     self._process_pool_logs(pool_logs, active_names)
@@ -578,6 +587,7 @@ class Trainer:
                         self.state,
                         jnp.asarray(lr, jnp.float32),
                         jnp.asarray(ent_coef, jnp.float32),
+                        jnp.asarray(shaping, jnp.float32),
                     )
                     self.tracker.ingest(jax.device_get(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
