@@ -178,6 +178,19 @@ class Config:
     compute_dtype: Optional[str] = None  # None (f32) or "bfloat16"
     mesh_data: int = 0  # data-parallel axis size; 0 = all local devices
 
+    def __post_init__(self):
+        # Normalize flexible-typed fields on direct construction too.
+        if not isinstance(self.player_count, PlayerCountMode):
+            self.player_count = PlayerCountMode.parse(self.player_count)
+        for k in self.SCHEDULE_FIELDS:
+            v = getattr(self, k)
+            if not isinstance(v, Schedule):
+                setattr(self, k, Schedule.parse(v))
+        for k in self.OPTIONAL_SCHEDULE_FIELDS:
+            v = getattr(self, k)
+            if v is not None and not isinstance(v, Schedule):
+                setattr(self, k, Schedule.parse(v))
+
     # ------------------------------------------------------------------
     SCHEDULE_FIELDS = ("reward_shaping_coef", "learning_rate", "entropy_coef")
     OPTIONAL_SCHEDULE_FIELDS = ("adaptive_entropy",)
