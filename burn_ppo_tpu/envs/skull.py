@@ -82,6 +82,10 @@ class SkullState(struct.PyTreeNode):
     done: jax.Array  # bool
     step_idx: jax.Array  # i32
     shaping_coef: jax.Array  # f32
+    # Interactive-mode discard override: -1 random (default), 0 skull,
+    # 1 rose — the physical game lets the loser choose which coaster to
+    # discard (reference lose_coaster_specified, skull.rs:330-377).
+    forced_discard: jax.Array  # i32
     key: jax.Array
 
 
@@ -167,6 +171,7 @@ class Skull(Environment):
             done=jnp.zeros((), jnp.bool_),
             step_idx=jnp.zeros((), jnp.int32),
             shaping_coef=jnp.zeros((), jnp.float32),
+            forced_discard=jnp.full((), -1, jnp.int32),
             key=key,
         )
 
@@ -351,6 +356,16 @@ class Skull(Environment):
                     k_choice, (), 0, jnp.maximum(coasters, 1)
                 )
                 lose_skull = s.has_trap[bidder] & (choice == 0)
+                # Interactive override: forced skull/rose discard if legal.
+                lose_skull = jnp.where(
+                    s.forced_discard == 0,
+                    s.has_trap[bidder],
+                    jnp.where(
+                        s.forced_discard == 1,
+                        s.has_trap[bidder] & (s.rose_count[bidder] == 0),
+                        lose_skull,
+                    ),
+                )
                 has_trap = s.has_trap.at[bidder].set(
                     s.has_trap[bidder] & ~lose_skull
                 )

@@ -1,0 +1,112 @@
+"""Interactive web UI tests: drive the HTTP API (reference interactive.rs
+session/handler behavior)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from burn_ppo_tpu.config import Config
+from burn_ppo_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("skull_run")
+    cfg = Config(
+        env="skull", num_envs=2, num_steps=8, total_steps=32,
+        hidden_size=16, num_hidden=1, checkpoint_freq=32, log_freq=32,
+        seed=50, opponent_pool_fraction=0.0, player_count=4,
+    )
+    Trainer(cfg, d / "run", quiet=True).train()
+
+    from burn_ppo_tpu.interactive import InteractiveApp, make_handler
+
+    app = InteractiveApp([d / "run"], limit_per_run=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def call(base, path, body=None, sid="testsession"):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        base + path,
+        data=data,
+        headers={"x-session-id": sid, "content-type": "application/json"},
+        method="POST" if body is not None else "GET",
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_index_serves_html(server):
+    with urllib.request.urlopen(server + "/") as r:
+        html = r.read().decode()
+    assert "Skull Assistant" in html
+
+
+def test_networks_listed(server):
+    r = call(server, "/api/networks")
+    assert len(r["networks"]) == 1
+
+
+def test_new_game_and_state(server):
+    r = call(server, "/api/new_game", {"num_players": 3, "ai_seat": 1})
+    assert r["ok"]
+    state = r["state"]
+    assert state["active"]
+    assert len(state["players"]) == 3
+    assert state["phase"] == "placing"
+    assert state["players"][1]["is_ai"]
+
+
+def test_execute_action_and_undo(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0})
+    state = call(server, "/api/game_state")
+    action = state["valid_actions"][0]["id"]
+    r = call(server, "/api/execute_action", {"action": action})
+    assert r.get("ok") or r.get("pending_discard")
+    r2 = call(server, "/api/undo", {})
+    assert r2["ok"]
+    state2 = call(server, "/api/game_state")
+    assert state2["current_player"] == 0
+
+
+def test_invalid_action_rejected(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0})
+    r = call(server, "/api/execute_action", {"action": 32})  # reveal P5: invalid
+    assert "error" in r
+
+
+def test_ai_probs_and_sample(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0})
+    r = call(server, "/api/ai_probs", {})
+    assert len(r["probs"]) >= 2
+    total = sum(p["prob"] for p in r["probs"])
+    assert 0.5 < total <= 1.001
+    r2 = call(server, "/api/ai_sample", {})
+    assert r2.get("ok")
+    hist = call(server, "/api/history")
+    assert len(hist["history"]) >= 1
+
+
+def test_hide_private_info(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 2})
+    call(server, "/api/set_hide_info", {"hide": True})
+    state = call(server, "/api/game_state")
+    # non-AI seats hide skull/rose info; AI seat visible
+    assert state["players"][0]["has_skull"] is None
+    assert state["players"][2]["has_skull"] is not None
+    call(server, "/api/set_hide_info", {"hide": False})
+
+
+def test_sessions_isolated(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0}, sid="s1")
+    state2 = call(server, "/api/game_state", sid="s2")
+    assert not state2["active"]
