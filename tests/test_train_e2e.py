@@ -71,7 +71,8 @@ def test_checkpoint_metadata_structure(tmp_path):
     assert meta["obs_dim"] == 5
     assert (latest / "model.npz").exists()
     assert (latest / "optimizer.npz").exists()
-    assert (latest / "train_state.npz").exists()
+    assert (latest / "return_norm.npz").exists()
+    assert (latest / "rng_state.npz").exists()
 
 
 def test_resume_continues_from_step(tmp_path):
