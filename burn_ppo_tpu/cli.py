@@ -42,6 +42,13 @@ def _add_train_parser(sub):
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
     p.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                    help="Force a JAX platform (default: ambient)")
+    p.add_argument("--reload-every-n-checkpoints", type=int, default=0,
+                   help="Supervisor mode: respawn training as a subprocess "
+                        "every N checkpoints (0 = off; reference default 10)")
+    p.add_argument("--max-checkpoints-this-run", type=int, default=0,
+                   help=argparse.SUPPRESS)  # internal (supervisor child)
+    p.add_argument("--elapsed-time-offset-ms", type=int, default=0,
+                   help=argparse.SUPPRESS)  # internal (supervisor child)
 
     # --- config overrides (names match TOML keys) ---
     p.add_argument("--env")
@@ -176,7 +183,52 @@ def collect_overrides(args) -> Dict[str, Any]:
     return overrides
 
 
-def run_train(args) -> int:
+def run_train(args, argv=None) -> int:
+    # Supervisor mode (reference main.rs:1700-1784): parent respawns the
+    # training subprocess every N checkpoints; children are marked by
+    # --max-checkpoints-this-run.
+    if (
+        args.reload_every_n_checkpoints > 0
+        and args.max_checkpoints_this_run == 0
+        and not args.fork
+    ):
+        from burn_ppo_tpu.config import Config as _Cfg
+        from burn_ppo_tpu.supervisor import TrainingSupervisor
+
+        runs_base = Path(args.runs_base)
+        if args.resume:
+            run_dir = Path(args.resume)
+            cfg = _Cfg.load(run_dir / "config.toml")
+        else:
+            cfg = _Cfg.load(args.config).apply_overrides(collect_overrides(args))
+            run_name = args.run_name or cfg.run_name or generate_run_name(
+                runs_base, cfg.env
+            )
+            run_dir = Path(args.run_dir) if args.run_dir else runs_base / run_name
+        # Strip the supervisor flag (both `--flag value` and `--flag=value`).
+        cleaned = []
+        skip = False
+        for a in argv or []:
+            if skip:
+                skip = False
+                continue
+            if a == "--reload-every-n-checkpoints":
+                skip = True
+                continue
+            if a.startswith("--reload-every-n-checkpoints="):
+                continue
+            cleaned.append(a)
+        if "--run-dir" not in cleaned and not args.resume:
+            cleaned += ["--run-dir", str(run_dir)]
+        total = args.total_steps or cfg.total_steps
+        return TrainingSupervisor(
+            run_dir,
+            cleaned,
+            reload_every_n_checkpoints=args.reload_every_n_checkpoints,
+            total_steps=total,
+            quiet=args.quiet,
+        ).run()
+
     if args.platform:
         import jax
 
@@ -199,7 +251,11 @@ def run_train(args) -> int:
         if not latest.exists():
             print(f"error: no checkpoints/latest in {run_dir}", file=sys.stderr)
             return 1
-        trainer = Trainer(cfg, run_dir, resume_from=latest.resolve(), quiet=args.quiet)
+        trainer = Trainer(
+            cfg, run_dir, resume_from=latest.resolve(), quiet=args.quiet,
+            max_checkpoints_this_run=args.max_checkpoints_this_run,
+            elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
+        )
     elif args.fork:
         ckpt = Path(args.fork)
         if not (ckpt / "metadata.json").exists():
@@ -234,7 +290,11 @@ def run_train(args) -> int:
                 file=sys.stderr,
             )
             return 1
-        trainer = Trainer(cfg, run_dir, quiet=args.quiet)
+        trainer = Trainer(
+            cfg, run_dir, quiet=args.quiet,
+            max_checkpoints_this_run=args.max_checkpoints_this_run,
+            elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
+        )
 
     summary = trainer.train()
     if not args.quiet:
@@ -272,7 +332,7 @@ def main(argv=None) -> int:
         argv = ["train"] + argv
     args = parser.parse_args(argv)
     if args.command == "train":
-        return run_train(args)
+        return run_train(args, argv=[a for a in argv if a != "train"])
     if args.command == "eval":
         return run_eval(args)
     if args.command == "tournament":

@@ -277,7 +277,14 @@ class Trainer:
         resume_from: Optional[str | Path] = None,
         forked_from_run: Optional[str] = None,
         quiet: bool = False,
+        max_checkpoints_this_run: int = 0,
+        elapsed_time_offset: float = 0.0,
     ):
+        # Supervisor-mode knobs (reference supervisor.rs / main.rs:1700-1784):
+        # exit after N checkpoint saves so a parent can respawn; carry the
+        # parent's elapsed time for accurate ETA/limit accounting.
+        self.max_checkpoints_this_run = max_checkpoints_this_run
+        self.elapsed_time_offset = elapsed_time_offset
         cfg.validate()
         self.cfg = cfg
         self.run_dir = Path(run_dir)
@@ -528,6 +535,14 @@ class Trainer:
         self.metrics.log_hparams(cfg.to_dict())
         cfg.save_toml(self.run_dir / "config.toml")
 
+        from burn_ppo_tpu.progress import TrainingProgress
+
+        progress = TrainingProgress(
+            cfg.total_steps,
+            start_step=self.global_step,
+            elapsed_offset=self.elapsed_time_offset,
+            quiet=self.quiet,
+        )
         interrupted = {"flag": False}
         prev_handler = None
 
@@ -542,12 +557,17 @@ class Trainer:
         last_metrics: Dict[str, float] = {}
         next_log = self.global_step + cfg.log_freq
         next_ckpt = self.global_step + cfg.checkpoint_freq
+        checkpoints_saved = 0
+        hit_checkpoint_cap = False
 
         try:
             while self.global_step < cfg.total_steps:
                 if interrupted["flag"]:
                     break
-                if max_seconds is not None and time.time() - start_time > max_seconds:
+                if (
+                    max_seconds is not None
+                    and time.time() - start_time + self.elapsed_time_offset > max_seconds
+                ):
                     break
 
                 lr = cfg.learning_rate.get(self.global_step)
@@ -603,14 +623,26 @@ class Trainer:
                     next_log = self.global_step + cfg.log_freq
                     sps = steps_per_update / max(step_time, 1e-9)
                     self._log_metrics(metrics, lr, ent_coef, ent_target, sps)
-                    if not self.quiet:
-                        self._print_progress(metrics, sps)
+                    self._print_progress(progress, metrics, sps)
 
                 if self.global_step >= next_ckpt:
                     next_ckpt = self.global_step + cfg.checkpoint_freq
                     self.save_checkpoint()
+                    checkpoints_saved += 1
+                    if (
+                        self.max_checkpoints_this_run > 0
+                        and checkpoints_saved >= self.max_checkpoints_this_run
+                    ):
+                        # Supervisor reload point (main.rs:1411-1417).
+                        hit_checkpoint_cap = True
+                        break
 
-            self.save_checkpoint()
+            if not hit_checkpoint_cap:
+                self.save_checkpoint()
+            if interrupted["flag"]:
+                progress.finish_interrupted()
+            else:
+                progress.finish("training complete")
         finally:
             if prev_handler is not None:
                 try:
@@ -691,15 +723,19 @@ class Trainer:
         tr.window_episodes = 0
         self.metrics.flush()
 
-    def _print_progress(self, m, sps) -> None:
-        pct = 100.0 * self.global_step / max(self.cfg.total_steps, 1)
-        extra = ""
-        if self._last_elo:
-            extra = f" elo={self._last_elo['train/current_elo']:.0f}"
-        print(
-            f"[{self.cfg.env}] step {self.global_step:>10,} ({pct:5.1f}%) "
-            f"sps={sps:>9,.0f} return={self.tracker.avg_return:8.2f} "
-            f"kl={m['approx_kl']:.4f} ent={m['entropy']:.3f} "
-            f"ev={m['explained_variance']:.2f}{extra}",
-            flush=True,
+    def _print_progress(self, progress, m, sps) -> None:
+        extra = (
+            f"kl {m['approx_kl']:.4f} ent {m['entropy']:.3f} "
+            f"ev {m['explained_variance']:.2f}"
         )
+        tr = self.tracker
+        if self.num_players > 1 and tr.recent_outcomes:
+            avg_points, _c, draw_rate = compute_avg_points(
+                tr.recent_outcomes, self.num_players
+            )
+            elo = self._last_elo.get("train/current_elo")
+            progress.update_multiplayer(
+                self.global_step, sps, avg_points, draw_rate, elo=elo, extra=extra
+            )
+        else:
+            progress.update(self.global_step, sps, tr.avg_return, extra=extra)
