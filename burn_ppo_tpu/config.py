@@ -34,6 +34,16 @@ from burn_ppo_tpu.schedule import Schedule
 RESUME_OVERRIDABLE = {"total_steps", "max_training_time"}
 
 
+def _snake(s: str) -> str:
+    """CamelCase -> snake_case ('UniformRandom' -> 'uniform_random')."""
+    out = []
+    for i, ch in enumerate(s):
+        if ch.isupper() and i > 0:
+            out.append("_")
+        out.append(ch.lower())
+    return "".join(out)
+
+
 def parse_duration(s: str) -> float:
     """'30s' / '5m' / '2h' -> seconds (reference config.rs:11-40)."""
     m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([smh])\s*", s)
@@ -75,12 +85,14 @@ class PlayerCountMode:
         if isinstance(value, str):
             return PlayerCountMode(mode="fixed", count=int(value))
         if isinstance(value, dict):
-            mode = value.get("mode", "fixed")
+            # Accept both this framework's {"mode": "fixed"} and the
+            # reference TOML's {"type": "Fixed"} spellings (config.rs:648).
+            mode = value.get("mode") or _snake(value.get("type", "fixed"))
             return PlayerCountMode(
                 mode=mode,
                 count=int(value.get("count", 4)),
-                min_players=int(value.get("min_players", 2)),
-                max_players=int(value.get("max_players", 6)),
+                min_players=int(value.get("min_players", value.get("min", 2))),
+                max_players=int(value.get("max_players", value.get("max", 6))),
                 weights=tuple(value.get("weights", ())),
                 milestones=tuple(
                     (int(c), int(s)) for c, s in value.get("milestones", ())
