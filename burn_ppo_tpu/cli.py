@@ -47,6 +47,15 @@ def _add_train_parser(sub):
                         "every N checkpoints (0 = off; reference default 10)")
     p.add_argument("--max-checkpoints-this-run", type=int, default=0,
                    help=argparse.SUPPRESS)  # internal (supervisor child)
+    p.add_argument("--profile-dir", default=None,
+                   help="Capture a jax.profiler trace into this directory")
+    p.add_argument("--profile-start", type=int, default=1,
+                   help="Update index at which the trace starts")
+    p.add_argument("--profile-updates", type=int, default=2,
+                   help="Number of updates to trace")
+    p.add_argument("--profile-phases", action="store_true",
+                   help="Unfused diagnostic mode: time rollout/GAE/update "
+                        "separately (logs perf/rollout_time etc.)")
     p.add_argument("--elapsed-time-offset-ms", type=int, default=0,
                    help=argparse.SUPPRESS)  # internal (supervisor child)
 
@@ -255,6 +264,8 @@ def run_train(args, argv=None) -> int:
             cfg, run_dir, resume_from=latest.resolve(), quiet=args.quiet,
             max_checkpoints_this_run=args.max_checkpoints_this_run,
             elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
+            profile_dir=args.profile_dir, profile_start=args.profile_start,
+            profile_updates=args.profile_updates, profile_phases=args.profile_phases,
         )
     elif args.fork:
         ckpt = Path(args.fork)
@@ -275,6 +286,8 @@ def run_train(args, argv=None) -> int:
         trainer = Trainer(
             cfg, run_dir, resume_from=ckpt.resolve(),
             forked_from_run=parent_name, quiet=args.quiet,
+            profile_dir=args.profile_dir, profile_start=args.profile_start,
+            profile_updates=args.profile_updates, profile_phases=args.profile_phases,
         )
     else:
         cfg = Config.load(args.config).apply_overrides(overrides)
@@ -294,6 +307,8 @@ def run_train(args, argv=None) -> int:
             cfg, run_dir, quiet=args.quiet,
             max_checkpoints_this_run=args.max_checkpoints_this_run,
             elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
+            profile_dir=args.profile_dir, profile_start=args.profile_start,
+            profile_updates=args.profile_updates, profile_phases=args.profile_phases,
         )
 
     summary = trainer.train()

@@ -225,37 +225,58 @@ def ppo_update(
         )
         params = network.with_value_head(params, kernel, bias)
 
-    # ---- precompute shuffled minibatch index tensor --------------------
-    epoch_keys = jax.random.split(key, cfg.num_epochs)
-    perms = jax.vmap(lambda k: jax.random.permutation(k, N)[: nmb * mb_size])(
-        epoch_keys
-    )  # [epochs, nmb*mb]
-    idx_all = perms.reshape(cfg.num_epochs * nmb, mb_size)
-
-    zero_metrics = {k: jnp.zeros(()) for k in METRIC_KEYS}
+    # ---- pack all per-sample fields into ONE [N, C] buffer -------------
+    # TPU random-row gathers pay a fixed per-index cost, so seven separate
+    # column gathers per epoch shuffle (~870ms at 8M samples) collapse
+    # into one wide row gather (~220ms).  Semantics are identical to the
+    # reference's per-epoch index shuffle (ppo.rs:1815-1816).
     has_priv = "privileged_obs" in data and data["privileged_obs"] is not None
     has_masks = "action_masks" in data and data["action_masks"] is not None
 
+    segments = [("obs", data["obs"].shape[1])]
+    if has_priv:
+        segments.append(("privileged_obs", data["privileged_obs"].shape[1]))
+    if has_masks:
+        segments.append(("action_masks", data["action_masks"].shape[1]))
+    scalar_fields = (
+        "old_log_probs",
+        "advantages",
+        "returns",
+        "old_values",
+        "valid",
+    )
+    parts = [data[name].astype(jnp.float32) for name, _ in segments]
+    parts.append(
+        jax.lax.bitcast_convert_type(
+            data["actions"].astype(jnp.int32), jnp.float32
+        )[:, None]
+    )
+    parts.extend(data[f].astype(jnp.float32)[:, None] for f in scalar_fields)
+    packed = jnp.concatenate(parts, axis=1)  # [N, C]
+    C = packed.shape[1]
+
+    def unpack(mb2d: jax.Array) -> Dict[str, jax.Array]:
+        mb: Dict[str, jax.Array] = {}
+        off = 0
+        for name, width in segments:
+            mb[name] = mb2d[:, off : off + width]
+            off += width
+        mb["actions"] = jax.lax.bitcast_convert_type(mb2d[:, off], jnp.int32)
+        off += 1
+        for f in scalar_fields:
+            mb[f] = mb2d[:, off]
+            off += 1
+        return mb
+
+    zero_metrics = {k: jnp.zeros(()) for k in METRIC_KEYS}
     grad_fn = jax.value_and_grad(_minibatch_loss, has_aux=True)
 
-    def mb_body(carry, idx):
+    def mb_body(carry, mb2d):
         params, opt_state, stop, sums, count = carry
 
         def run(operand):
             params, opt_state, sums, count = operand
-            mb = {
-                "obs": data["obs"][idx],
-                "actions": data["actions"][idx],
-                "old_log_probs": data["old_log_probs"][idx],
-                "advantages": data["advantages"][idx],
-                "returns": data["returns"][idx],
-                "old_values": data["old_values"][idx],
-                "valid": data["valid"][idx],
-            }
-            if has_priv:
-                mb["privileged_obs"] = data["privileged_obs"][idx]
-            if has_masks:
-                mb["action_masks"] = data["action_masks"][idx]
+            mb = unpack(mb2d)
             (loss, aux), grads = grad_fn(
                 params, network, mb, new_popart, ent_coef, cfg
             )
@@ -277,10 +298,22 @@ def ppo_update(
             stop = stop | (kl > cfg.target_kl)
         return (params, opt_state, stop, sums, count), None
 
-    init = (params, opt_state, jnp.zeros((), jnp.bool_), zero_metrics, jnp.zeros(()))
-    (params, opt_state, _stop, sums, count), _ = jax.lax.scan(
-        mb_body, init, idx_all
-    )
+    epoch_keys = jax.random.split(key, cfg.num_epochs)
+    carry = (params, opt_state, jnp.zeros((), jnp.bool_), zero_metrics, jnp.zeros(()))
+    for e in range(cfg.num_epochs):
+        # Each epoch reshuffles (fresh permutation, one row gather); the
+        # whole epoch — gather included — is skipped once KL early stop
+        # has triggered (ppo.rs:2019-2023 breaks the epoch loop).
+        def run_epoch(carry, ekey=epoch_keys[e]):
+            perm = jax.random.permutation(ekey, N)[: nmb * mb_size]
+            shuffled = packed[perm].reshape(nmb, mb_size, C)
+            return jax.lax.scan(mb_body, carry, shuffled)[0]
+
+        def skip_epoch(carry):
+            return carry
+
+        carry = jax.lax.cond(carry[2], skip_epoch, run_epoch, carry)
+    params, opt_state, _stop, sums, count = carry
 
     denom = jnp.maximum(count, 1.0)
     metrics = {k: sums[k] / denom for k in METRIC_KEYS}

@@ -104,11 +104,13 @@ def _update_cfg(cfg: Config) -> PPOUpdateConfig:
     )
 
 
-def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
-    """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
-    flatten, PPO update. Returns (new_state, metrics)."""
+def _prepare_update(network, env, cfg, state, carry, batch):
+    """Normalizer advance + bootstrap + GAE + flatten into update data.
+
+    Returns (obs_norm_new, data).  Split from the optimizer phase so the
+    profiler can time the GAE stage separately (perf/gae_time,
+    main.rs:1104-1124)."""
     multiplayer = env.spec.num_players > 1
-    ucfg = _update_cfg(cfg)
 
     # Lagged obs-normalizer advance: stats absorb this rollout's raw batch
     # AFTER collection (ppo.rs:495-497); the bootstrap forward then uses
@@ -153,7 +155,12 @@ def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
         data["privileged_obs"] = batch.privileged_obs.reshape(N, -1)
     if batch.action_masks is not None:
         data["action_masks"] = batch.action_masks.reshape(N, env.spec.num_actions)
+    return obs_norm_new, data
 
+
+def _apply_update(network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef):
+    """Optimizer phase: minibatch PPO epochs. Returns (new_state, metrics)."""
+    ucfg = _update_cfg(cfg)
     key, sub = jax.random.split(state.update_key)
     params, opt_state, popart, metrics = ppo_update(
         network, tx, state.params, state.opt_state, data, state.popart,
@@ -168,6 +175,15 @@ def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
         obs_norm=obs_norm_new, popart=popart, update_key=key,
     )
     return new_state, metrics
+
+
+def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
+    """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
+    flatten, PPO update. Returns (new_state, metrics)."""
+    obs_norm_new, data = _prepare_update(network, env, cfg, state, carry, batch)
+    return _apply_update(
+        network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef
+    )
 
 
 def make_train_step(network: ActorCriticNetwork, env: Environment, cfg: Config, tx):
@@ -279,6 +295,10 @@ class Trainer:
         quiet: bool = False,
         max_checkpoints_this_run: int = 0,
         elapsed_time_offset: float = 0.0,
+        profile_dir: Optional[str | Path] = None,
+        profile_start: int = 1,
+        profile_updates: int = 2,
+        profile_phases: bool = False,
     ):
         # Supervisor-mode knobs (reference supervisor.rs / main.rs:1700-1784):
         # exit after N checkpoint saves so a parent can respawn; carry the
@@ -343,6 +363,45 @@ class Trainer:
             make_train_step(self.network, self.env, cfg, self.tx),
             donate_argnums=(0,),
         )
+
+        # ---- profiling (reference src/profile.rs; perf/* main.rs:1092) --
+        self.trace_capture = None
+        if profile_dir is not None:
+            from burn_ppo_tpu.profile import TraceCapture
+
+            self.trace_capture = TraceCapture(
+                profile_dir, start_update=profile_start, num_updates=profile_updates
+            )
+        self.profile_phases = profile_phases  # pool path stays fused
+        self._phase_times: Dict[str, float] = {}
+        if profile_phases:
+            # Diagnostic mode: rollout / GAE / update as separate jitted
+            # programs so each phase can be fenced and timed, mirroring
+            # the reference's perf/rollout_time|gae_time|update_time.
+            net, e_, c_, tx_ = self.network, self.env, cfg, self.tx
+            normalize_returns = cfg.effective_normalize_returns(self.num_players)
+            has_shaping = "shaping_coef" in getattr(e_, "context_fields", ())
+
+            def rollout_fn(state, shaping_coef):
+                ctx = {"shaping_coef": shaping_coef} if has_shaping else None
+                return collect_rollouts(
+                    net, e_, state.params, state.carry, state.obs_norm,
+                    state.popart, num_steps=c_.num_steps, gamma=c_.gamma,
+                    normalize_returns=normalize_returns,
+                    return_clip=c_.return_clip, env_context=ctx,
+                )
+
+            def gae_fn(state, carry, batch):
+                return _prepare_update(net, e_, c_, state, carry, batch)
+
+            def update_fn(state, carry, obs_norm_new, data, lr, ent_coef):
+                return _apply_update(
+                    net, c_, tx_, state, carry, obs_norm_new, data, lr, ent_coef
+                )
+
+            self._phase_rollout = jax.jit(rollout_fn)
+            self._phase_gae = jax.jit(gae_fn)
+            self._phase_update = jax.jit(update_fn)
 
         # ---- opponent-pool stack (multiplayer only, main.rs:564-654) ----
         self.pool: Optional[Any] = None
@@ -525,6 +584,41 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+    def _phase_timed_step(self, lr, ent_coef, shaping):
+        """Diagnostic unfused step: rollout / GAE / update each fenced and
+        timed (reference perf/rollout_time|gae_time|update_time,
+        main.rs:530-533, 1104-1124)."""
+
+        state = self.state
+        t0 = time.time()
+        carry, batch, logs = self._phase_rollout(
+            state, jnp.asarray(shaping, jnp.float32)
+        )
+        float(jnp.sum(batch.rewards))
+        t1 = time.time()
+        obs_norm_new, data = self._phase_gae(state, carry, batch)
+        float(jnp.sum(data["advantages"]))
+        t2 = time.time()
+        new_state, metrics = self._phase_update(
+            state, carry, obs_norm_new, data,
+            jnp.asarray(lr, jnp.float32), jnp.asarray(ent_coef, jnp.float32),
+        )
+        float(metrics["policy_loss"])
+        t3 = time.time()
+        self.state = new_state
+        self.tracker.ingest(jax.device_get(logs))
+        total = max(t3 - t0, 1e-9)
+        self._phase_times = {
+            "perf/rollout_time": t1 - t0,
+            "perf/gae_time": t2 - t1,
+            "perf/update_time": t3 - t2,
+            "perf/rollout_pct": 100.0 * (t1 - t0) / total,
+            "perf/gae_pct": 100.0 * (t2 - t1) / total,
+            "perf/update_pct": 100.0 * (t3 - t2) / total,
+        }
+        return metrics
+
+    # ------------------------------------------------------------------
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         steps_per_update = cfg.num_steps * self.num_envs
@@ -559,9 +653,13 @@ class Trainer:
         next_ckpt = self.global_step + cfg.checkpoint_freq
         checkpoints_saved = 0
         hit_checkpoint_cap = False
+        update_idx = 0
 
         try:
             while self.global_step < cfg.total_steps:
+                update_idx += 1
+                if self.trace_capture is not None:
+                    self.trace_capture.on_update_start(update_idx)
                 if interrupted["flag"]:
                     break
                 if (
@@ -602,6 +700,8 @@ class Trainer:
                     self._process_pool_logs(pool_logs, active_names)
                     self.pool.apply_pending_updates()
                     self.tracker.ingest(pool_logs.episode, env_limit=self.num_learner_envs)
+                elif self.profile_phases:
+                    metrics = self._phase_timed_step(lr, ent_coef, shaping)
                 else:
                     self.state, metrics, logs = self._train_step(
                         self.state,
@@ -612,6 +712,8 @@ class Trainer:
                     self.tracker.ingest(jax.device_get(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 step_time = time.time() - t0
+                if self.trace_capture is not None:
+                    self.trace_capture.on_update_end(update_idx)
 
                 self.global_step += steps_per_update
                 last_metrics = metrics
@@ -649,6 +751,8 @@ class Trainer:
                     signal.signal(signal.SIGINT, prev_handler)
                 except ValueError:
                     pass
+            if self.trace_capture is not None:
+                self.trace_capture.close()
             self.metrics.flush()
 
         elapsed = time.time() - start_time
@@ -692,6 +796,8 @@ class Trainer:
             log("value_norm/mean", m["value_norm/mean"], step)
             log("value_norm/std", m["value_norm/std"], step)
         log("perf/sps", sps, step)
+        for name, value in self._phase_times.items():
+            log(name, value, step)
         for name, value in self._last_elo.items():
             log(name, value, step)
         if self.pool is not None:
