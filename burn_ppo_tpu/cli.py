@@ -47,6 +47,9 @@ def _add_train_parser(sub):
                         "every N checkpoints (0 = off; reference default 10)")
     p.add_argument("--max-checkpoints-this-run", type=int, default=0,
                    help=argparse.SUPPRESS)  # internal (supervisor child)
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed (TPU pod auto-detect, or "
+                        "BURN_PPO_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars)")
     p.add_argument("--profile-dir", default=None,
                    help="Capture a jax.profiler trace into this directory")
     p.add_argument("--profile-start", type=int, default=1,
@@ -244,6 +247,10 @@ def run_train(args, argv=None) -> int:
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else None
         )
+    if args.multihost:
+        from burn_ppo_tpu.parallel.distributed import maybe_initialize
+
+        maybe_initialize(force=True)
     from burn_ppo_tpu.train import Trainer
 
     overrides = collect_overrides(args)

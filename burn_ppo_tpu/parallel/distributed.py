@@ -1,0 +1,136 @@
+"""Multi-host (multi-process) support.
+
+The reference is single-process (SURVEY.md §2 note: no collectives, no
+process groups anywhere); this module supplies the scale-out layer the
+TPU build adds on top of its feature set (SURVEY.md §5 "distributed
+communication backend" TPU-native equivalent):
+
+  * ``maybe_initialize()`` — ``jax.distributed.initialize`` from explicit
+    args or the standard env vars; a no-op in single-process runs and on
+    TPU pods where JAX auto-detects the topology.
+  * ``is_primary()`` — process 0 owns logging, checkpoints, graphs and
+    stdout; other hosts compute silently (host-0 logging discipline).
+  * ``global_put(tree, sharding_fn)`` — build globally-sharded arrays
+    from host-local data with ``jax.make_array_from_callback`` (plain
+    ``device_put`` onto a global sharding only works single-process).
+  * ``host_local_slice(x)`` — the addressable shard block of a globally
+    sharded array, for per-host episode bookkeeping without pulling the
+    full global array across DCN.
+
+Gradient/normalizer reductions need no code here: the train step is a
+global-view jit program, so GSPMD inserts the cross-host psums (over ICI
+within a slice, DCN across slices) from the sharding annotations alone.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+
+
+def maybe_initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    force: bool = False,
+) -> bool:
+    """Initialize jax.distributed when configured; returns True if so.
+
+    Configuration sources, in priority order: explicit args, the
+    ``BURN_PPO_COORDINATOR`` / ``BURN_PPO_NUM_PROCESSES`` /
+    ``BURN_PPO_PROCESS_ID`` env vars, then JAX's own auto-detection
+    (TPU pod metadata) when ``BURN_PPO_MULTIHOST=1``.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "BURN_PPO_COORDINATOR"
+    )
+    if num_processes is None and "BURN_PPO_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["BURN_PPO_NUM_PROCESSES"])
+    if process_id is None and "BURN_PPO_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["BURN_PPO_PROCESS_ID"])
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    if force or os.environ.get("BURN_PPO_MULTIHOST") == "1":
+        jax.distributed.initialize()  # TPU pod auto-detection
+        return True
+    return False
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """Host-0 check: owns metrics, checkpoints, graphs, progress bar."""
+    return jax.process_index() == 0
+
+
+def global_put(tree: Any, sharding_for_leaf: Callable[[Any], jax.sharding.Sharding]):
+    """Place host-local leaves onto (possibly multi-host) global shardings.
+
+    Single-process this is plain ``device_put``.  Multi-process, each
+    host holds the SAME logical global value (envs are initialized from
+    the same seed and partitioned by the sharding), and
+    ``make_array_from_callback`` hands every device its slice.
+    """
+    single = jax.process_count() == 1
+
+    def place(x):
+        sharding = sharding_for_leaf(x)
+        if single:
+            return jax.device_put(x, sharding)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def host_local_slice(x: jax.Array, axis: int = 0) -> np.ndarray:
+    """Concatenate this process's addressable shards along ``axis``.
+
+    For a ``P("data")``-sharded array this is the host's env block
+    (episode logs [T, E, ...] shard on axis 1); replicated arrays come
+    back whole. Used at logging boundaries so episode bookkeeping never
+    pulls remote shards over DCN.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+
+    def start_of(s):
+        if not s.index or axis >= len(s.index):
+            return 0
+        return s.index[axis].start or 0
+
+    shards = sorted(x.addressable_shards, key=start_of)
+    seen = set()
+    parts = []
+    for s in shards:
+        start = start_of(s)
+        if start in seen:
+            continue  # replicated across local devices
+        seen.add(start)
+        parts.append(np.asarray(s.data))
+    if len(parts) == 1:
+        return parts[0]
+    return np.concatenate(parts, axis=axis)
+
+
+def all_hosts_mean(value: float) -> float:
+    """Average a host-local scalar across processes (logging only)."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(np.asarray([value]))
+    return float(np.mean(arr))

@@ -44,28 +44,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_rollout_carry(carry, mesh: Mesh):
     """Place a RolloutCarry: env-indexed leaves sharded over 'data',
-    scalar normalizer stats and keys replicated."""
+    scalar normalizer stats and keys replicated.
+
+    Goes through ``distributed.global_put`` so the same code builds
+    globally-sharded arrays in multi-host runs (plain device_put onto a
+    global sharding only works single-process)."""
+    from burn_ppo_tpu.parallel.distributed import global_put
+
     shard = data_sharding(mesh)
     repl = replicated_sharding(mesh)
 
     def place_env_indexed(tree):
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), tree)
+        return global_put(tree, lambda _: shard)
 
     ret_norm = carry.return_norm
     return carry.replace(
         env_states=place_env_indexed(carry.env_states),
         episode_acc=place_env_indexed(carry.episode_acc),
-        last_value_per_player=jax.device_put(carry.last_value_per_player, shard),
+        last_value_per_player=place_env_indexed(carry.last_value_per_player),
         return_norm=ret_norm.replace(
-            returns=jax.device_put(ret_norm.returns, shard),
-            mean=jax.device_put(ret_norm.mean, repl),
-            m2=jax.device_put(ret_norm.m2, repl),
-            count=jax.device_put(ret_norm.count, repl),
+            returns=place_env_indexed(ret_norm.returns),
+            mean=global_put(ret_norm.mean, lambda _: repl),
+            m2=global_put(ret_norm.m2, lambda _: repl),
+            count=global_put(ret_norm.count, lambda _: repl),
         ),
-        key=jax.device_put(carry.key, repl),
+        key=global_put(carry.key, lambda _: repl),
     )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    from burn_ppo_tpu.parallel.distributed import global_put
+
     repl = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), tree)
+    return global_put(tree, lambda _: repl)

@@ -206,6 +206,28 @@ def compute_ratings(
     if not comparisons:
         return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
 
+    # Native fast path: the MM loop + Fisher information in C++
+    # (native/plackett_luce.cpp), exact same math; falls through to the
+    # Python implementation when no compiler is available.
+    from burn_ppo_tpu.native import plackett_luce as _native
+
+    native_out = _native.compute(
+        num_players, comparisons, games_played, anchor_player_idx,
+        config.max_iterations, config.convergence_threshold, config.epsilon,
+        config.anchor_elo, config.ci_inflation_factor,
+    )
+    if native_out is not None:
+        n_ratings, n_unc, iters, delta, converged = native_out
+        return _done(
+            [
+                PlayerRating(float(n_ratings[i]), float(n_unc[i]))
+                for i in range(num_players)
+            ],
+            converged,
+            iters,
+            delta,
+        )
+
     gammas = np.zeros(num_players)
     converged, iters, delta = False, 0, float("inf")
     for it in range(config.max_iterations):

@@ -24,6 +24,48 @@ from pathlib import Path
 from typing import List, Optional
 
 
+# Flags a resumed child may keep (value count follows each flag). All
+# config overrides were baked into the run's config.toml snapshot by the
+# first child; passing them again would trip the resume-override policy
+# (the reference instead rebuilds child args, config.rs:343-465).
+_RESUME_SAFE_FLAGS = {
+    "--quiet": 0,
+    "--multihost": 0,
+    "--profile-phases": 0,
+    "--platform": 1,
+    "--runs-base": 1,
+    "--total-steps": 1,
+    "--max-training-time": 1,
+    "--profile-dir": 1,
+    "--profile-start": 1,
+    "--profile-updates": 1,
+}
+
+
+def resume_safe_args(child_args: List[str]) -> List[str]:
+    """Filter original CLI args down to those legal on a --resume child."""
+    out: List[str] = []
+    i = 0
+    while i < len(child_args):
+        a = child_args[i]
+        base = a.split("=", 1)[0]
+        if base in _RESUME_SAFE_FLAGS:
+            out.append(a)
+            nvals = _RESUME_SAFE_FLAGS[base] if "=" not in a else 0
+            for j in range(nvals):
+                if i + 1 + j < len(child_args):
+                    out.append(child_args[i + 1 + j])
+            i += 1 + (nvals if "=" not in a else 0)
+        else:
+            # skip the flag and its value (if the next token isn't a flag)
+            i += 1
+            if not a.startswith("--") or "=" in a:
+                continue
+            if i < len(child_args) and not child_args[i].startswith("--"):
+                i += 1
+    return out
+
+
 class TrainingSupervisor:
     def __init__(
         self,
@@ -67,12 +109,14 @@ class TrainingSupervisor:
                 return 0
 
             elapsed_ms = int((time.time() - start) * 1000)
-            args = list(self.child_args)
             if not first or self.latest_step() is not None:
-                # Resume from the run dir; drop any fresh-start config arg
-                # conflicts are handled by the resume-override policy.
-                if "--resume" not in args:
-                    args += ["--resume", str(self.run_dir)]
+                # Resume from the run dir. Config overrides from the
+                # original invocation are already frozen in the run's
+                # config.toml; only resume-safe flags pass through.
+                args = resume_safe_args(self.child_args)
+                args += ["--resume", str(self.run_dir)]
+            else:
+                args = list(self.child_args)
             args += [
                 "--max-checkpoints-this-run", str(self.n),
                 "--elapsed-time-offset-ms", str(elapsed_ms),

@@ -308,8 +308,15 @@ class Trainer:
         cfg.validate()
         self.cfg = cfg
         self.run_dir = Path(run_dir)
-        self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.quiet = quiet
+        # Host-0 discipline (multi-host runs): only process 0 writes the
+        # run dir, metrics, checkpoints, graphs and progress output; the
+        # other hosts run the same device program silently.
+        from burn_ppo_tpu.parallel.distributed import is_primary
+
+        self.is_primary = is_primary()
+        if self.is_primary:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.quiet = quiet or not self.is_primary
 
         self.mesh = make_mesh(cfg.mesh_data)
         self.num_devices = self.mesh.devices.size
@@ -475,7 +482,9 @@ class Trainer:
         return params, opt_state, obs_norm, popart, carry, update_key
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self) -> Path:
+    def save_checkpoint(self) -> Optional[Path]:
+        if not self.is_primary:
+            return None  # host-0 owns checkpoint IO (multi-host runs)
         state = self.state
         aux = {
             "obs_norm": state.obs_norm,
@@ -626,8 +635,9 @@ class Trainer:
         start_time = time.time()
         start_step = self.global_step
 
-        self.metrics.log_hparams(cfg.to_dict())
-        cfg.save_toml(self.run_dir / "config.toml")
+        if self.is_primary:
+            self.metrics.log_hparams(cfg.to_dict())
+            cfg.save_toml(self.run_dir / "config.toml")
 
         from burn_ppo_tpu.progress import TrainingProgress
 
@@ -696,7 +706,7 @@ class Trainer:
                         jnp.asarray(ent_coef, jnp.float32),
                         jnp.asarray(shaping, jnp.float32),
                     )
-                    pool_logs = jax.device_get(pool_logs)
+                    pool_logs = self._fetch_logs(pool_logs)
                     self._process_pool_logs(pool_logs, active_names)
                     self.pool.apply_pending_updates()
                     self.tracker.ingest(pool_logs.episode, env_limit=self.num_learner_envs)
@@ -709,7 +719,7 @@ class Trainer:
                         jnp.asarray(ent_coef, jnp.float32),
                         jnp.asarray(shaping, jnp.float32),
                     )
-                    self.tracker.ingest(jax.device_get(logs))
+                    self.tracker.ingest(self._fetch_logs(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 step_time = time.time() - t0
                 if self.trace_capture is not None:
@@ -767,8 +777,20 @@ class Trainer:
         return summary
 
     # ------------------------------------------------------------------
+    def _fetch_logs(self, logs):
+        """Episode logs to host: this process's env block only ([T, E, ...]
+        leaves shard on axis 1), so multi-host logging never crosses DCN."""
+        from burn_ppo_tpu.parallel.distributed import host_local_slice
+
+        return jax.tree_util.tree_map(
+            lambda x: host_local_slice(x, axis=min(1, x.ndim - 1)), logs
+        )
+
+    # ------------------------------------------------------------------
     def _log_metrics(self, m, lr, ent_coef, ent_target, sps) -> None:
         """~40 scalar series matching the reference names (main.rs:1026-1223)."""
+        if not self.is_primary:
+            return
         step = self.global_step
         log = self.metrics.log_scalar
         log("train/policy_loss", m["policy_loss"], step)

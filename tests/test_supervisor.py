@@ -1,0 +1,128 @@
+"""Supervisor tests (reference src/supervisor.rs: arg assembly,
+completion detection, respawn loop)."""
+
+import json
+from pathlib import Path
+
+from burn_ppo_tpu.supervisor import TrainingSupervisor, resume_safe_args
+
+
+def write_latest(run_dir: Path, step: int):
+    ckpt = run_dir / "checkpoints" / f"step_{step:08d}"
+    ckpt.mkdir(parents=True, exist_ok=True)
+    (ckpt / "metadata.json").write_text(json.dumps({"step": step}))
+    latest = run_dir / "checkpoints" / "latest"
+    if latest.is_symlink():
+        latest.unlink()
+    latest.symlink_to(ckpt.name)
+
+
+def test_latest_step_none_without_checkpoint(tmp_path):
+    sup = TrainingSupervisor(tmp_path, [], reload_every_n_checkpoints=2, total_steps=100)
+    assert sup.latest_step() is None
+    assert not sup.is_training_complete()
+
+
+def test_latest_step_reads_metadata(tmp_path):
+    write_latest(tmp_path, 64)
+    sup = TrainingSupervisor(tmp_path, [], reload_every_n_checkpoints=2, total_steps=100)
+    assert sup.latest_step() == 64
+    assert not sup.is_training_complete()
+
+
+def test_completion_at_total_steps(tmp_path):
+    write_latest(tmp_path, 100)
+    sup = TrainingSupervisor(tmp_path, [], reload_every_n_checkpoints=2, total_steps=100)
+    assert sup.is_training_complete()
+
+
+def test_completion_past_total_steps(tmp_path):
+    write_latest(tmp_path, 150)
+    sup = TrainingSupervisor(tmp_path, [], reload_every_n_checkpoints=2, total_steps=100)
+    assert sup.is_training_complete()
+
+
+def test_corrupt_metadata_is_not_complete(tmp_path):
+    ckpt = tmp_path / "checkpoints" / "step_00000001"
+    ckpt.mkdir(parents=True)
+    (ckpt / "metadata.json").write_text("not json")
+    latest = tmp_path / "checkpoints" / "latest"
+    latest.symlink_to(ckpt.name)
+    sup = TrainingSupervisor(tmp_path, [], reload_every_n_checkpoints=2, total_steps=100)
+    assert sup.latest_step() is None
+
+
+def test_run_returns_immediately_when_complete(tmp_path):
+    write_latest(tmp_path, 100)
+    sup = TrainingSupervisor(
+        tmp_path, [], reload_every_n_checkpoints=2, total_steps=100, quiet=True
+    )
+    assert sup.run() == 0
+
+
+# ------------------------------------------------------ resume arg filter
+def test_resume_safe_args_drops_config_overrides():
+    args = [
+        "-c", "configs/skull.toml", "--learning-rate", "1e-3",
+        "--num-envs", "128", "--quiet", "--total-steps", "5000",
+    ]
+    assert resume_safe_args(args) == ["--quiet", "--total-steps", "5000"]
+
+
+def test_resume_safe_args_keeps_runtime_flags():
+    args = ["--platform", "cpu", "--profile-dir", "/tmp/x", "--seed", "3"]
+    assert resume_safe_args(args) == ["--platform", "cpu", "--profile-dir", "/tmp/x"]
+
+
+def test_resume_safe_args_handles_equals_form():
+    args = ["--total-steps=900", "--gamma=0.9", "--quiet"]
+    assert resume_safe_args(args) == ["--total-steps=900", "--quiet"]
+
+
+def test_resume_safe_args_drops_existing_resume():
+    args = ["--resume", "runs/old", "--quiet"]
+    assert resume_safe_args(args) == ["--quiet"]
+
+
+def test_resume_safe_args_boolean_flags_not_greedy():
+    # --normalize-obs (no value) followed by a safe flag must not eat it
+    args = ["--normalize-obs", "--quiet"]
+    assert resume_safe_args(args) == ["--quiet"]
+
+
+def test_respawn_uses_resume_and_offsets(tmp_path, monkeypatch):
+    """Second spawn adds --resume with only resume-safe flags."""
+    import burn_ppo_tpu.supervisor as sup_mod
+
+    spawned = []
+
+    class FakeProc:
+        def __init__(self, cmd):
+            spawned.append(cmd)
+            # first child writes a checkpoint short of total; second completes
+            step = 50 if len(spawned) == 1 else 100
+            write_latest(tmp_path, step)
+
+        def wait(self):
+            return 0
+
+    monkeypatch.setattr(
+        sup_mod.subprocess, "Popen", lambda cmd: FakeProc(cmd)
+    )
+    sup = TrainingSupervisor(
+        tmp_path,
+        ["-c", "x.toml", "--learning-rate", "1e-3", "--quiet"],
+        reload_every_n_checkpoints=1,
+        total_steps=100,
+        quiet=True,
+    )
+    assert sup.run() == 0
+    assert len(spawned) == 2
+    first, second = spawned
+    assert "--resume" not in first
+    assert "-c" in first and "--learning-rate" in first
+    assert "--resume" in second
+    assert "-c" not in second and "--learning-rate" not in second
+    assert "--quiet" in second
+    assert "--max-checkpoints-this-run" in first
+    assert "--elapsed-time-offset-ms" in second
