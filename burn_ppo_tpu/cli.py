@@ -96,6 +96,8 @@ def _add_train_parser(sub):
     p.add_argument("--players", type=int, help="Fixed player count (variable-count games)")
     p.add_argument("--compute-dtype", choices=["bfloat16"])
     p.add_argument("--mesh-data", type=int, help="Data-parallel mesh size (0 = all devices)")
+    p.add_argument("--shuffle-block-rows", type=int,
+                   help="Epoch-shuffle tile size (0 = auto, 1 = exact)")
     # --x / --no-x tri-state booleans (config.rs:142-257)
     for flag in ("normalize-obs", "normalize-returns", "normalize-values",
                  "clip-value", "split-networks", "debug-opponents"):
@@ -179,8 +181,8 @@ TRAIN_OVERRIDE_KEYS = [
     "network_type", "critic_hidden_size", "critic_num_hidden",
     "checkpoint_freq", "log_freq", "opponent_pool_fraction",
     "opponent_select_alpha", "opponent_select_exponent", "compute_dtype",
-    "mesh_data", "normalize_obs", "normalize_returns", "normalize_values",
-    "clip_value", "split_networks", "debug_opponents",
+    "mesh_data", "shuffle_block_rows", "normalize_obs", "normalize_returns",
+    "normalize_values", "clip_value", "split_networks", "debug_opponents",
 ]
 
 

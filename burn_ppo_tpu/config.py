@@ -189,6 +189,9 @@ class Config:
     # --- TPU-native additions (no reference equivalent) ---------------
     compute_dtype: Optional[str] = None  # None (f32) or "bfloat16"
     mesh_data: int = 0  # data-parallel axis size; 0 = all local devices
+    # Epoch-shuffle tile size: 0 = auto (exact per-sample shuffle at
+    # reference batch sizes, tiled at TPU scale), 1 = always exact.
+    shuffle_block_rows: int = 0
 
     def __post_init__(self):
         # Normalize flexible-typed fields on direct construction too.

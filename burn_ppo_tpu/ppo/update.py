@@ -56,6 +56,27 @@ class PPOUpdateConfig:
     target_kl: Optional[float] = None
     adam_epsilon: float = 1e-5
     normalize_values: bool = False  # PopArt
+    # Epoch-shuffle granularity: rows are shuffled in tiles of this many
+    # consecutive samples. 0 = auto (1 at reference batch sizes — exact
+    # per-sample shuffle — growing to 128 at TPU scale), 1 = always exact.
+    # TPU random gathers pay ~12.5ns per index regardless of row width,
+    # so tiling cuts the epoch-shuffle cost by the tile factor. Since
+    # every minibatch reduction is order-invariant, tiling only affects
+    # which samples co-occur in a minibatch; a tile spans adjacent envs
+    # at one timestep — negligible correlation at >=16k-sample tiles-per-
+    # minibatch ratios, and reference-scale runs always use tile 1.
+    shuffle_block_rows: int = 0
+
+
+def resolve_shuffle_block(n: int, mb_size: int, requested: int) -> int:
+    """Largest power-of-2 tile size <= target that divides mb_size."""
+    if requested == 1:
+        return 1
+    target = requested if requested > 1 else max(1, min(128, n // 16384))
+    r = 1
+    while r * 2 <= target and mb_size % (r * 2) == 0:
+        r *= 2
+    return r
 
 
 def make_optimizer(cfg: PPOUpdateConfig) -> optax.GradientTransformation:
@@ -298,15 +319,19 @@ def ppo_update(
             stop = stop | (kl > cfg.target_kl)
         return (params, opt_state, stop, sums, count), None
 
+    R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)
+    num_blocks = (nmb * mb_size) // R
+    packed_tiled = packed[: nmb * mb_size].reshape(num_blocks, R * C)
+
     epoch_keys = jax.random.split(key, cfg.num_epochs)
     carry = (params, opt_state, jnp.zeros((), jnp.bool_), zero_metrics, jnp.zeros(()))
     for e in range(cfg.num_epochs):
-        # Each epoch reshuffles (fresh permutation, one row gather); the
-        # whole epoch — gather included — is skipped once KL early stop
-        # has triggered (ppo.rs:2019-2023 breaks the epoch loop).
+        # Each epoch reshuffles (fresh permutation, one tiled row gather);
+        # the whole epoch — gather included — is skipped once KL early
+        # stop has triggered (ppo.rs:2019-2023 breaks the epoch loop).
         def run_epoch(carry, ekey=epoch_keys[e]):
-            perm = jax.random.permutation(ekey, N)[: nmb * mb_size]
-            shuffled = packed[perm].reshape(nmb, mb_size, C)
+            perm = jax.random.permutation(ekey, num_blocks)
+            shuffled = packed_tiled[perm].reshape(nmb, mb_size, C)
             return jax.lax.scan(mb_body, carry, shuffled)[0]
 
         def skip_epoch(carry):

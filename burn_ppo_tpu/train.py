@@ -101,6 +101,7 @@ def _update_cfg(cfg: Config) -> PPOUpdateConfig:
         target_kl=cfg.target_kl,
         adam_epsilon=cfg.adam_epsilon,
         normalize_values=cfg.normalize_values,
+        shuffle_block_rows=cfg.shuffle_block_rows,
     )
 
 
