@@ -308,6 +308,14 @@ def ppo_update(
             new_sums = {k: sums[k] + aux[k] for k in METRIC_KEYS}
             return new_params, new_opt, new_sums, count + 1.0, aux["approx_kl"]
 
+        if cfg.target_kl is None:
+            # No early stop possible — skip the cond wrapper entirely so
+            # XLA can fuse across the minibatch body.
+            params, opt_state, sums, count, _kl = run(
+                (params, opt_state, sums, count)
+            )
+            return (params, opt_state, stop, sums, count), None
+
         def skip(operand):
             params, opt_state, sums, count = operand
             return params, opt_state, sums, count, jnp.zeros(())
@@ -315,8 +323,7 @@ def ppo_update(
         params, opt_state, sums, count, kl = jax.lax.cond(
             stop, skip, run, (params, opt_state, sums, count)
         )
-        if cfg.target_kl is not None:
-            stop = stop | (kl > cfg.target_kl)
+        stop = stop | (kl > cfg.target_kl)
         return (params, opt_state, stop, sums, count), None
 
     R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)
@@ -333,6 +340,10 @@ def ppo_update(
             perm = jax.random.permutation(ekey, num_blocks)
             shuffled = packed_tiled[perm].reshape(nmb, mb_size, C)
             return jax.lax.scan(mb_body, carry, shuffled)[0]
+
+        if cfg.target_kl is None:
+            carry = run_epoch(carry)
+            continue
 
         def skip_epoch(carry):
             return carry

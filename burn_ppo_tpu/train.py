@@ -187,8 +187,19 @@ def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
     )
 
 
-def make_train_step(network: ActorCriticNetwork, env: Environment, cfg: Config, tx):
-    """Fused self-play rollout -> GAE -> PPO update, to be jitted."""
+def make_train_step(
+    network: ActorCriticNetwork,
+    env: Environment,
+    cfg: Config,
+    tx,
+    compact_stats: bool = False,
+):
+    """Fused self-play rollout -> GAE -> PPO update, to be jitted.
+
+    With ``compact_stats`` the third output is a dict of on-device
+    episode-summary scalars instead of the full [T, E] EpisodeLog —
+    ~100MB/update less host traffic at TPU env counts (the Trainer's
+    default path; see ppo/episode_stats.py)."""
     normalize_returns = cfg.effective_normalize_returns(env.spec.num_players)
     has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
@@ -204,6 +215,12 @@ def make_train_step(network: ActorCriticNetwork, env: Environment, cfg: Config, 
         new_state, metrics = _finish_step(
             network, env, cfg, tx, state, carry, batch, lr, ent_coef
         )
+        if compact_stats:
+            from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
+
+            return new_state, metrics, summarize_episode_logs(
+                logs, env.spec.num_players
+            )
         return new_state, metrics, logs
 
     return train_step
@@ -281,6 +298,48 @@ class EpisodeTracker:
     @property
     def avg_return(self) -> float:
         return float(np.mean(self.recent_returns)) if self.recent_returns else 0.0
+
+    # -- interface shared with WindowedEpisodeTracker -------------------
+    @property
+    def has_data(self) -> bool:
+        return bool(self.recent_returns)
+
+    @property
+    def window_count(self) -> float:
+        return float(len(self.recent_returns))
+
+    @property
+    def return_max(self) -> float:
+        return float(np.max(self.recent_returns))
+
+    @property
+    def return_min(self) -> float:
+        return float(np.min(self.recent_returns))
+
+    @property
+    def mean_length(self) -> float:
+        return float(np.mean(self.recent_lengths)) if self.recent_lengths else 0.0
+
+    def per_player_returns(self) -> np.ndarray:
+        return np.array(
+            [
+                float(np.mean(d)) if d else 0.0
+                for d in self.recent_per_player
+            ]
+        )
+
+    def avg_points(self) -> np.ndarray:
+        if not self.recent_outcomes:
+            return np.zeros(self.num_players)
+        pts, _c, _d = compute_avg_points(self.recent_outcomes, self.num_players)
+        return np.asarray(pts)
+
+    @property
+    def draw_rate(self) -> float:
+        if not self.recent_outcomes:
+            return 0.0
+        _p, _c, d = compute_avg_points(self.recent_outcomes, self.num_players)
+        return d
 
 
 class Trainer:
@@ -368,7 +427,11 @@ class Trainer:
         )
 
         self._train_step = jax.jit(
-            make_train_step(self.network, self.env, cfg, self.tx),
+            make_train_step(
+                self.network, self.env, cfg, self.tx,
+                compact_stats=cfg.opponent_pool_fraction <= 0.0
+                or self.num_players == 1,
+            ),
             donate_argnums=(0,),
         )
 
@@ -439,9 +502,31 @@ class Trainer:
         self._last_elo: Dict[str, float] = {}
 
         self.metrics = MetricsLogger(self.run_dir)
-        self.tracker = EpisodeTracker(self.num_players)
-        for r in getattr(self, "_restored_recent", []):
-            self.tracker.recent_returns.append(float(r))
+        if self.pool is None:
+            # Compact path: episode stats reduced on device
+            # (ppo/episode_stats.py); no per-episode host data.
+            from burn_ppo_tpu.ppo.episode_stats import WindowedEpisodeTracker
+
+            self.tracker = WindowedEpisodeTracker(self.num_players)
+            restored = getattr(self, "_restored_recent", [])
+            if restored:
+                ret_sum = np.zeros(self.num_players)
+                ret_sum[0] = float(np.sum(restored))
+                self.tracker.ingest(
+                    {
+                        "count": float(len(restored)),
+                        "ret_sum": ret_sum,
+                        "ret0_max": float(np.max(restored)),
+                        "ret0_min": float(np.min(restored)),
+                        "len_sum": 0.0,
+                        "pts_sum": np.zeros(self.num_players),
+                        "draws": 0.0,
+                    }
+                )
+        else:
+            self.tracker = EpisodeTracker(self.num_players)
+            for r in getattr(self, "_restored_recent", []):
+                self.tracker.recent_returns.append(float(r))
         self.adaptive_entropy = None
         if cfg.adaptive_entropy is not None:
             self.adaptive_entropy = AdaptiveEntropyController(
@@ -509,7 +594,9 @@ class Trainer:
             best_avg_return=(
                 None if self.best_avg_return == float("-inf") else self.best_avg_return
             ),
-            recent_returns=list(self.tracker.recent_returns),
+            recent_returns=[
+                float(r) for r in getattr(self.tracker, "recent_returns", [])
+            ] or [self.tracker.avg_return] * min(100, int(self.tracker.window_count)),
             forked_from=self.forked_from,
             rng_seed=self.seed,
             normalize_obs=self.cfg.normalize_obs,
@@ -720,7 +807,10 @@ class Trainer:
                         jnp.asarray(ent_coef, jnp.float32),
                         jnp.asarray(shaping, jnp.float32),
                     )
-                    self.tracker.ingest(self._fetch_logs(logs))
+                    if isinstance(logs, dict):  # compact device summaries
+                        self.tracker.ingest(jax.device_get(logs))
+                    else:
+                        self.tracker.ingest(self._fetch_logs(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 step_time = time.time() - t0
                 if self.trace_capture is not None:
@@ -829,27 +919,19 @@ class Trainer:
                 log("eval/pool_performance", perf, step)
 
         tr = self.tracker
-        if tr.recent_returns:
+        if tr.has_data:
             log("episode/return_mean", tr.avg_return, step)
-            log("episode/return_max", float(np.max(tr.recent_returns)), step)
-            log("episode/return_min", float(np.min(tr.recent_returns)), step)
-            if tr.recent_lengths:
-                log("episode/length_mean", float(np.mean(tr.recent_lengths)), step)
+            log("episode/return_max", tr.return_max, step)
+            log("episode/return_min", tr.return_min, step)
+            log("episode/length_mean", tr.mean_length, step)
             log("episode/count", float(tr.total_episodes), step)
-        if self.num_players > 1 and tr.recent_outcomes:
-            avg_points, _counts, draw_rate = compute_avg_points(
-                tr.recent_outcomes, self.num_players
-            )
+        if self.num_players > 1 and tr.has_data:
+            avg_points = tr.avg_points()
+            per_player = tr.per_player_returns()
             for p in range(self.num_players):
-                log(f"episode/player_{p}_points", avg_points[p], step)
-                if tr.recent_per_player[p]:
-                    log(
-                        f"episode/player_{p}_return_mean",
-                        float(np.mean(tr.recent_per_player[p])),
-                        step,
-                    )
-            log("episode/draw_rate", draw_rate, step)
-        tr.window_episodes = 0
+                log(f"episode/player_{p}_points", float(avg_points[p]), step)
+                log(f"episode/player_{p}_return_mean", float(per_player[p]), step)
+            log("episode/draw_rate", tr.draw_rate, step)
         self.metrics.flush()
 
     def _print_progress(self, progress, m, sps) -> None:
@@ -858,13 +940,11 @@ class Trainer:
             f"ev {m['explained_variance']:.2f}"
         )
         tr = self.tracker
-        if self.num_players > 1 and tr.recent_outcomes:
-            avg_points, _c, draw_rate = compute_avg_points(
-                tr.recent_outcomes, self.num_players
-            )
+        if self.num_players > 1 and tr.has_data:
             elo = self._last_elo.get("train/current_elo")
             progress.update_multiplayer(
-                self.global_step, sps, avg_points, draw_rate, elo=elo, extra=extra
+                self.global_step, sps, list(tr.avg_points()), tr.draw_rate,
+                elo=elo, extra=extra,
             )
         else:
             progress.update(self.global_step, sps, tr.avg_return, extra=extra)

@@ -55,5 +55,12 @@ def test_connect_four_cnn_trains(tmp_path):
 def test_outcomes_are_valid_placements(tmp_path):
     trainer = Trainer(c4_config(), tmp_path / "run", quiet=True)
     trainer.train()
-    for outcome in trainer.tracker.recent_outcomes:
-        assert sorted(outcome) in ([1, 1], [1, 2])
+    tr = trainer.tracker
+    assert tr.has_data
+    pts = tr.avg_points()
+    # Two-player zero-sum Swiss points: each game awards 1 total (win 1 /
+    # loss 0, draw 0.5 each), so per-player averages lie in [0, 1] and
+    # sum to 1.
+    assert 0.0 <= pts[0] <= 1.0 and 0.0 <= pts[1] <= 1.0
+    assert abs(pts[0] + pts[1] - 1.0) < 1e-6
+    assert 0.0 <= tr.draw_rate <= 1.0
