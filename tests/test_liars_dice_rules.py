@@ -1,0 +1,245 @@
+"""Extended Liar's Dice rule tests: call resolution arithmetic, wild-1
+semantics, placement rewards, round-reset invariants, obs/priv layouts
+(reference liars_dice.rs has 35 in-module tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from burn_ppo_tpu.envs import make_env
+from burn_ppo_tpu.envs.liars_dice import (
+    A,
+    CALL,
+    DICE,
+    FACES,
+    MAX_DICE,
+    OBS_DIM,
+    P,
+    PLACEMENT_REWARDS,
+    PRIV_DIM,
+    _count_face,
+)
+
+
+@pytest.fixture(scope="module")
+def env():
+    e = make_env("liars_dice")
+    e.step = jax.jit(e.step)
+    e.action_mask = jax.jit(e.action_mask)
+    return e
+
+
+def fresh(env, seed=0):
+    return env.reset(jax.random.PRNGKey(seed))
+
+
+def BIDA(qty, face):
+    return jnp.asarray((qty - 1) * FACES + (face - 1), jnp.int32)
+
+
+def set_dice(s, dice):
+    return s.replace(dice=jnp.asarray(dice, jnp.int32))
+
+
+# ------------------------------------------------------- wild ones
+def test_wild_ones_count_toward_other_faces():
+    dice = jnp.asarray([[1, 3], [3, 3], [2, 5], [1, 1]], jnp.int32)
+    count = jnp.full((4,), 2, jnp.int32)
+    assert int(_count_face(dice, count, jnp.asarray(3))) == 6  # 3 threes + 3 ones
+
+
+def test_bidding_ones_counts_only_ones():
+    dice = jnp.asarray([[1, 3], [3, 3], [2, 5], [1, 1]], jnp.int32)
+    count = jnp.full((4,), 2, jnp.int32)
+    assert int(_count_face(dice, count, jnp.asarray(1))) == 3
+
+
+def test_count_face_respects_dice_count():
+    dice = jnp.asarray([[3, 3], [3, 3], [3, 3], [3, 3]], jnp.int32)
+    count = jnp.asarray([2, 1, 0, 2], jnp.int32)
+    assert int(_count_face(dice, count, jnp.asarray(3))) == 5
+
+
+# ------------------------------------------------------- call resolution
+def test_caller_correct_bidder_loses_die(env):
+    s = fresh(env)
+    s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+    s = env.step(s, BIDA(8, 6))  # P0 bids 8 sixes (actual: 0)
+    before = int(s.dice_count[0])
+    s = env.step(s, jnp.asarray(CALL))  # P1 calls: correct
+    assert int(s.dice_count[0]) == before - 1
+    assert int(s.dice_count[1]) == 2
+
+
+def test_caller_wrong_caller_loses_die(env):
+    s = fresh(env)
+    s = set_dice(s, [[2, 2], [2, 2], [2, 2], [2, 2]])
+    s = env.step(s, BIDA(2, 2))  # P0 bids 2 twos (actual: 8, bid stands)
+    s = env.step(s, jnp.asarray(CALL))  # P1 calls: wrong
+    assert int(s.dice_count[1]) == 1
+    assert int(s.dice_count[0]) == 2
+
+
+def test_exact_count_means_bid_stands(env):
+    """actual == bid_qty: the bid is NOT a lie (caller needs actual < qty)."""
+    s = fresh(env)
+    s = set_dice(s, [[2, 3], [2, 3], [3, 3], [3, 3]])
+    # twos: 2 actual (no wilds since no 1s)
+    s = env.step(s, BIDA(2, 2))
+    s = env.step(s, jnp.asarray(CALL))
+    assert int(s.dice_count[1]) == 1  # caller loses
+
+
+def test_loser_starts_next_round(env):
+    s = fresh(env)
+    s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+    s = env.step(s, BIDA(8, 6))
+    s = env.step(s, jnp.asarray(CALL))  # P0 loses a die but stays alive
+    assert int(s.current) == 0
+    assert int(s.bid_qty) == 0  # fresh round
+    assert int(s.hist_len) == 0
+
+
+def test_round_reset_rerolls_dice(env):
+    s = fresh(env, seed=3)
+    dice_before = np.asarray(s.dice).copy()
+    s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+    s = env.step(s, BIDA(8, 6))
+    s = env.step(s, jnp.asarray(CALL))
+    after = np.asarray(s.dice)
+    assert not bool(s.game_over)
+    # dice were rerolled (can't equal the planted values with high prob;
+    # check the planted pattern specifically)
+    assert not np.array_equal(after, [[2, 2], [3, 3], [4, 4], [5, 5]])
+
+
+# ------------------------------------------------------- eliminations
+def play_until_over(env, s, max_iters=400, seed=0):
+    key = jax.random.PRNGKey(seed)
+    for _ in range(max_iters):
+        if bool(s.game_over):
+            return s
+        mask = np.asarray(env.action_mask(s)).astype(np.float64)
+        key, sub = jax.random.split(key)
+        a = int(jax.random.choice(sub, A, p=jnp.asarray(mask / mask.sum())))
+        s = env.step(s, jnp.asarray(a))
+    raise AssertionError("game did not terminate")
+
+
+def test_placement_rewards_assigned_at_end(env):
+    s = play_until_over(env, fresh(env, seed=9))
+    r = np.sort(np.asarray(s.rewards))[::-1]
+    np.testing.assert_allclose(r, np.asarray(PLACEMENT_REWARDS), atol=1e-6)
+    places = sorted(np.asarray(s.placements).tolist())
+    assert places == [1, 2, 3, 4]
+
+
+def test_winner_gets_plus_one(env):
+    s = play_until_over(env, fresh(env, seed=10))
+    winner = int(np.argmax(np.asarray(s.dice_count) > 0))
+    assert int(s.placements[winner]) == 1
+    assert float(s.rewards[winner]) == pytest.approx(1.0)
+
+
+def test_first_eliminated_gets_last_place(env):
+    s = fresh(env)
+    # drive P0 to zero dice with two losing bids (bid <= total dice)
+    for total in (8, 7):
+        s = s.replace(current=jnp.asarray(0, jnp.int32))
+        s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+        s = env.step(s, BIDA(total, 6))
+        s = env.step(s, jnp.asarray(CALL))
+    assert int(s.dice_count[0]) == 0
+    assert int(s.placements[0]) == P  # 4th place
+    assert int(s.num_eliminated) == 1
+    assert not bool(s.game_over)
+
+
+def test_eliminated_player_skipped_in_rotation(env):
+    s = fresh(env)
+    for total in (8, 7):
+        s = s.replace(current=jnp.asarray(0, jnp.int32))
+        s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+        s = env.step(s, BIDA(total, 6))
+        s = env.step(s, jnp.asarray(CALL))
+    # P0 out; next round starts at next alive (P1); bidding skips P0
+    assert int(s.current) == 1
+    s = env.step(s, BIDA(1, 2))
+    assert int(s.current) == 2
+    s = env.step(s, BIDA(1, 3))
+    assert int(s.current) == 3
+    s = env.step(s, BIDA(1, 4))
+    assert int(s.current) == 1  # wraps past dead P0
+
+
+# ------------------------------------------------------- masks
+def test_mask_bid_ordering(env):
+    s = fresh(env)
+    s = env.step(s, BIDA(3, 4))
+    mask = np.asarray(env.action_mask(s)).reshape(-1)
+    assert not mask[int(BIDA(3, 4))]
+    assert not mask[int(BIDA(3, 3))]
+    assert not mask[int(BIDA(2, 6))]
+    assert mask[int(BIDA(3, 5))]  # same qty, higher face
+    assert mask[int(BIDA(4, 1))]  # higher qty, any face
+    assert mask[CALL]
+
+
+def test_mask_quantity_capped_by_total_dice(env):
+    s = fresh(env)
+    s = s.replace(dice_count=jnp.asarray([1, 1, 1, 0], jnp.int32))
+    mask = np.asarray(env.action_mask(s))
+    assert mask[int(BIDA(3, 6))]
+    assert not mask[int(BIDA(4, 1))]  # only 3 dice in play
+
+
+def test_shaping_reward_only_for_alive(env):
+    s = fresh(env)
+    s = s.replace(shaping_coef=jnp.asarray(0.25, jnp.float32))
+    s = s.replace(dice_count=jnp.asarray([1, 2, 2, 2], jnp.int32))
+    s = set_dice(s, [[6, 6], [3, 3], [4, 4], [5, 5]])
+    s = s.replace(current=jnp.asarray(0, jnp.int32))
+    s = env.step(s, BIDA(7, 6))  # impossible bid by P0 (has 1 die)
+    s = env.step(s, jnp.asarray(CALL))  # P0 eliminated
+    r = np.asarray(s.rewards)
+    assert r[0] == 0.0  # eliminated: no survival bonus
+    np.testing.assert_allclose(r[1:], 0.25)
+
+
+# ------------------------------------------------------- observations
+def test_obs_dims_and_ranges(env):
+    s = fresh(env)
+    o = np.asarray(env.obs(s))
+    assert o.shape == (OBS_DIM,)
+    assert np.all(o >= -1.0) and np.all(o <= 1.0)
+    p = np.asarray(env.privileged_obs(s))
+    assert p.shape == (PRIV_DIM,)
+
+
+def test_obs_own_dice_onehot(env):
+    s = fresh(env)
+    s = set_dice(s, [[3, 5], [1, 1], [1, 1], [1, 1]])
+    o = np.asarray(env.obs(s))
+    die0 = o[:FACES]
+    die1 = o[FACES : 2 * FACES]
+    assert die0.tolist() == [0, 0, 1, 0, 0, 0]  # face 3
+    assert die1.tolist() == [0, 0, 0, 0, 1, 0]  # face 5
+
+
+def test_priv_obs_contains_all_players_dice(env):
+    s = fresh(env)
+    s = set_dice(s, [[2, 2], [3, 3], [4, 4], [5, 5]])
+    p = np.asarray(env.privileged_obs(s))
+    # per-player block at the end: count, alive, 12 one-hot dice
+    # P1's first die (face 3) must appear somewhere with weight 1
+    assert (p == 1.0).sum() >= 8  # 8 dice one-hots present
+
+
+def test_describe_parse_roundtrip(env):
+    assert env.describe_action(CALL) == "Call Liar!"
+    assert env.parse_action("call") == CALL
+    assert env.parse_action("3 4s") == int(BIDA(3, 4))
+    assert env.parse_action("8 6") == int(BIDA(8, 6))
+    with pytest.raises(ValueError):
+        env.parse_action("9 7s")
