@@ -226,6 +226,45 @@ def make_train_step(
     return train_step
 
 
+def make_train_window(
+    network: ActorCriticNetwork, env: Environment, cfg: Config, tx
+):
+    """K fused train steps per host call (K = length of the schedule
+    arrays), to be jitted once per distinct K.
+
+    Production TPU training logs every ``log_freq`` steps, not every
+    update; chaining the intermediate updates through the host only adds
+    dispatch latency (and, on tunneled setups, transfers). The window
+    scans the fused train step K times on device, returns the LAST
+    update's metrics (what the reference logs at a boundary,
+    main.rs:1026) and the episode summaries summed over the window.
+    """
+    step = make_train_step(network, env, cfg, tx, compact_stats=True)
+
+    def window(state: TrainState, lrs, ent_coefs, shaping_coefs):
+        def body(s, xs):
+            lr, ec, sc = xs
+            s2, metrics, stats = step(s, lr, ec, sc)
+            return s2, (metrics, stats)
+
+        state, (metrics_all, stats_all) = jax.lax.scan(
+            body, state, (lrs, ent_coefs, shaping_coefs)
+        )
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
+        stats = {
+            "count": jnp.sum(stats_all["count"]),
+            "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
+            "ret0_max": jnp.max(stats_all["ret0_max"]),
+            "ret0_min": jnp.min(stats_all["ret0_min"]),
+            "len_sum": jnp.sum(stats_all["len_sum"]),
+            "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
+            "draws": jnp.sum(stats_all["draws"]),
+        }
+        return state, metrics, stats
+
+    return window
+
+
 def make_pool_train_step(
     network: ActorCriticNetwork, env: Environment, cfg: Config, tx,
     num_learner_envs: int, num_slots: int,
@@ -435,6 +474,15 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        # Fused multi-update windows (device-side K-step scan between
+        # logging boundaries). Off when: pool active (host bookkeeping per
+        # update), adaptive entropy (needs per-update feedback),
+        # phase profiling, or trace capture (per-update spans).
+        self._windows: Dict[int, Any] = {}
+        self.use_windows = (
+            cfg.opponent_pool_fraction <= 0.0 or self.num_players == 1
+        ) and cfg.adaptive_entropy is None and not profile_phases and profile_dir is None
+
         # ---- profiling (reference src/profile.rs; perf/* main.rs:1092) --
         self.trace_capture = None
         if profile_dir is not None:
@@ -636,6 +684,31 @@ class Trainer:
         return best.name if best else None
 
     # ------------------------------------------------------------------
+    def _get_window(self, k: int):
+        if k not in self._windows:
+            self._windows[k] = jax.jit(
+                make_train_window(self.network, self.env, self.cfg, self.tx),
+                donate_argnums=(0,),
+            )
+        return self._windows[k]
+
+    def _window_size(self, next_log: int, next_ckpt: int) -> int:
+        """Largest power-of-2 update count that stays within every
+        boundary (log, checkpoint, total steps), capped at 64. Power-of-2
+        quantization bounds the number of distinct compiles."""
+        spu = self.cfg.num_steps * self.num_envs
+        room = min(
+            next_log - self.global_step,
+            next_ckpt - self.global_step,
+            self.cfg.total_steps - self.global_step,
+        )
+        max_updates = max(1, room // spu)
+        k = 1
+        while k * 2 <= min(max_updates, 64):
+            k *= 2
+        return k
+
+    # ------------------------------------------------------------------
     def _get_pool_step(self, num_slots: int):
         if num_slots not in self._pool_steps:
             self._pool_steps[num_slots] = jax.jit(
@@ -778,6 +851,7 @@ class Trainer:
                 shaping = cfg.reward_shaping_coef.get(self.global_step)
 
                 t0 = time.time()
+                updates_done = 1
                 rotation = self.pool.refresh_rotation() if self.pool else None
                 if rotation is not None:
                     opp_params, opp_norm, active_names = rotation
@@ -800,6 +874,27 @@ class Trainer:
                     self.tracker.ingest(pool_logs.episode, env_limit=self.num_learner_envs)
                 elif self.profile_phases:
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
+                    updates_done = 1
+                elif self.use_windows:
+                    k = self._window_size(next_log, next_ckpt)
+                    offsets = [
+                        self.global_step + i * steps_per_update for i in range(k)
+                    ]
+                    lrs = jnp.asarray(
+                        [cfg.learning_rate.get(o) for o in offsets], jnp.float32
+                    )
+                    ecs = jnp.asarray(
+                        [cfg.entropy_coef.get(o) for o in offsets], jnp.float32
+                    )
+                    scs = jnp.asarray(
+                        [cfg.reward_shaping_coef.get(o) for o in offsets],
+                        jnp.float32,
+                    )
+                    self.state, metrics, stats = self._get_window(k)(
+                        self.state, lrs, ecs, scs
+                    )
+                    self.tracker.ingest(jax.device_get(stats))
+                    updates_done = k
                 else:
                     self.state, metrics, logs = self._train_step(
                         self.state,
@@ -816,7 +911,7 @@ class Trainer:
                 if self.trace_capture is not None:
                     self.trace_capture.on_update_end(update_idx)
 
-                self.global_step += steps_per_update
+                self.global_step += steps_per_update * updates_done
                 last_metrics = metrics
 
                 if self.adaptive_entropy is not None:
@@ -824,7 +919,7 @@ class Trainer:
 
                 if self.global_step >= next_log:
                     next_log = self.global_step + cfg.log_freq
-                    sps = steps_per_update / max(step_time, 1e-9)
+                    sps = steps_per_update * updates_done / max(step_time, 1e-9)
                     self._log_metrics(metrics, lr, ent_coef, ent_target, sps)
                     self._print_progress(progress, metrics, sps)
 

@@ -1,0 +1,180 @@
+"""Extended eval-layer tests: temperature schedules, stats aggregation,
+sampling, player sources (reference eval.rs has 38 in-module tests)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from burn_ppo_tpu.envs import make_env
+from burn_ppo_tpu.eval import (
+    EvalStats,
+    PlayerSource,
+    TempSchedule,
+    generate_permutations,
+    sample_with_temperature,
+)
+
+
+def args(**kw):
+    base = dict(temp=None, temp_final=None, temp_cutoff=None,
+                no_temp_cutoff=False, temp_decay=False)
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+# ------------------------------------------------------- temp schedule
+def test_from_args_env_defaults_connect_four():
+    env = make_env("connect_four")
+    ts = TempSchedule.from_args(env, args())
+    assert ts.initial == pytest.approx(0.4)
+    assert ts.cutoff == 10
+    assert ts.final_temp == 0.0
+
+
+def test_from_args_env_defaults_skull_constant():
+    env = make_env("skull")
+    ts = TempSchedule.from_args(env, args())
+    assert ts.initial == 1.0
+    assert ts.cutoff is None
+
+
+def test_from_args_overrides():
+    env = make_env("connect_four")
+    ts = TempSchedule.from_args(env, args(temp=0.8, temp_cutoff=5, temp_final=0.2))
+    assert ts.initial == 0.8 and ts.cutoff == 5 and ts.final_temp == 0.2
+
+
+def test_from_args_no_cutoff_flag():
+    env = make_env("connect_four")
+    ts = TempSchedule.from_args(env, args(no_temp_cutoff=True, temp=0.7))
+    assert ts.cutoff is None and ts.initial == 0.7
+
+
+def test_from_args_final_without_cutoff_rejected():
+    env = make_env("cartpole")  # no env cutoff default
+    with pytest.raises(ValueError, match="temp-final"):
+        TempSchedule.from_args(env, args(temp_final=0.1))
+
+
+def test_get_temp_cutoff_step():
+    ts = TempSchedule(initial=0.9, final_temp=0.1, cutoff=10)
+    assert float(ts.get_temp(0)) == pytest.approx(0.9)
+    assert float(ts.get_temp(9)) == pytest.approx(0.9)
+    assert float(ts.get_temp(10)) == pytest.approx(0.1)
+    assert float(ts.get_temp(100)) == pytest.approx(0.1)
+
+
+def test_get_temp_decay_linear():
+    ts = TempSchedule(initial=1.0, final_temp=0.0, cutoff=10, decay=True)
+    assert float(ts.get_temp(0)) == pytest.approx(1.0)
+    assert float(ts.get_temp(5)) == pytest.approx(0.5)
+    assert float(ts.get_temp(10)) == pytest.approx(0.0)
+
+
+def test_get_temp_vectorized():
+    ts = TempSchedule(initial=0.4, final_temp=0.0, cutoff=10)
+    temps = np.asarray(ts.get_temp(jnp.asarray([0, 9, 10, 20])))
+    np.testing.assert_allclose(temps, [0.4, 0.4, 0.0, 0.0])
+
+
+def test_describe_strings():
+    assert "constant" in TempSchedule(0.5).describe()
+    assert "cutoff" in TempSchedule(0.5, 0.0, 10).describe()
+    assert "decay" in TempSchedule(0.5, 0.0, 10, decay=True).describe()
+
+
+# ------------------------------------------------------- sampling
+def test_sample_temperature_zero_is_argmax():
+    logits = jnp.asarray([[0.1, 2.0, 0.3], [3.0, 0.2, 0.1]])
+    a = sample_with_temperature(
+        jax.random.PRNGKey(0), logits, jnp.asarray([0.0, 0.0])
+    )
+    assert np.asarray(a).tolist() == [1, 0]
+
+
+def test_sample_high_temperature_spreads():
+    logits = jnp.tile(jnp.asarray([[0.0, 3.0]]), (2000, 1))
+    a = np.asarray(
+        sample_with_temperature(
+            jax.random.PRNGKey(1), logits, jnp.full((2000,), 10.0)
+        )
+    )
+    # at temp 10 the 3-logit gap shrinks to 0.3 -> both actions common
+    assert 0.25 < a.mean() < 0.75
+
+
+def test_sample_low_temperature_sharpens():
+    logits = jnp.tile(jnp.asarray([[0.0, 1.0]]), (2000, 1))
+    a = np.asarray(
+        sample_with_temperature(
+            jax.random.PRNGKey(2), logits, jnp.full((2000,), 0.1)
+        )
+    )
+    assert a.mean() > 0.98
+
+
+# ------------------------------------------------------- permutations
+def test_permutations_counts():
+    assert generate_permutations(2).shape == (2, 2)
+    assert generate_permutations(4).shape == (24, 4)
+
+
+def test_permutations_are_unique_and_complete():
+    perms = generate_permutations(3)
+    assert len({tuple(p) for p in perms}) == 6
+    for p in perms:
+        assert sorted(p) == [0, 1, 2]
+
+
+# ------------------------------------------------------- stats
+def test_eval_stats_win_rates():
+    st = EvalStats(["A", "B"], num_players=2)
+    st.record_game([0, 1], [1, 2], [1.0, -1.0])
+    st.record_game([1, 0], [1, 2], [1.0, -1.0])
+    st.record_game([0, 1], [1, 2], [1.0, -1.0])
+    rows = st.summary_rows()
+    assert rows[0]["win_rate"] == pytest.approx(2 / 3)
+    assert rows[1]["win_rate"] == pytest.approx(1 / 3)
+    assert rows[0]["avg_reward"] == pytest.approx((1 - 1 + 1) / 3)
+
+
+def test_eval_stats_draws_counted():
+    st = EvalStats(["A", "B"], num_players=2)
+    st.record_game([0, 1], [1, 1], [0.0, 0.0])
+    assert st.draws == 1
+    assert st.total_games == 1
+
+
+def test_eval_stats_seat_to_source_mapping():
+    """Placements accrue to the SOURCE, independent of seat."""
+    st = EvalStats(["A", "B"], num_players=2)
+    st.record_game([1, 0], [2, 1], [-1.0, 1.0])  # seat0=B placed 2nd
+    assert st.placements[0] == [1, 0]  # A won from seat 1
+    assert st.placements[1] == [0, 1]
+
+
+def test_eval_stats_multiplayer_avg_placement():
+    st = EvalStats(["A", "B", "C", "D"], num_players=4)
+    st.record_game([0, 1, 2, 3], [1, 2, 3, 4], [1.0, 0.33, -0.33, -1.0])
+    st.record_game([0, 1, 2, 3], [4, 3, 2, 1], [-1.0, -0.33, 0.33, 1.0])
+    rows = st.summary_rows()
+    assert rows[0]["avg_placement"] == pytest.approx(2.5)
+    assert rows[3]["avg_placement"] == pytest.approx(2.5)
+
+
+def test_eval_stats_print_table_smoke(capsys):
+    st = EvalStats(["A", "B"], num_players=2)
+    st.record_game([0, 1], [1, 2], [1.0, -1.0])
+    st.print_table()
+    out = capsys.readouterr().out
+    assert "A" in out and "Win%" in out
+
+
+# ------------------------------------------------------- sources
+def test_player_source_kinds():
+    assert PlayerSource.random().kind == "random"
+    assert PlayerSource.human("me").kind == "human"
+    assert PlayerSource.human("me").name == "me"
