@@ -15,10 +15,21 @@ from typing import Any, Dict
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: str | Path):
+    def __init__(self, run_dir: str | Path, _null: bool = False):
+        self._null = _null
+        if _null:
+            # No-op logger for non-primary hosts: no mkdir, no file handle
+            # (host-0 IO discipline in multi-host runs).
+            self.path = None
+            self._f = None
+            return
         self.path = Path(run_dir) / "metrics.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "a", buffering=1)
+
+    @staticmethod
+    def null() -> "MetricsLogger":
+        return MetricsLogger("", _null=True)
 
     def log_hparams(self, hparams: Dict[str, Any], step: int = 0) -> None:
         self._write({"type": "hparams", "step": step, "data": _jsonable(hparams)})
@@ -34,13 +45,16 @@ class MetricsLogger:
             self.log_scalar(name, value, step)
 
     def _write(self, obj: Dict[str, Any]) -> None:
-        self._f.write(json.dumps(obj) + "\n")
+        if self._f is not None:
+            self._f.write(json.dumps(obj) + "\n")
 
     def flush(self) -> None:
-        self._f.flush()
+        if self._f is not None:
+            self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 def _jsonable(v: Any) -> Any:

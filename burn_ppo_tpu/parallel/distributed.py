@@ -112,15 +112,38 @@ def host_local_slice(x: jax.Array, axis: int = 0) -> np.ndarray:
             return 0
         return s.index[axis].start or 0
 
+    def region_of(s):
+        # Full index tuple: two shards are duplicates only if they cover
+        # the SAME region in every dimension (dedup by one axis' start
+        # would drop shards split along another axis).
+        if not s.index:
+            return ()
+        return tuple((sl.start, sl.stop) for sl in s.index)
+
+    def off_axis_region(s):
+        if not s.index:
+            return ()
+        return tuple(
+            (sl.start, sl.stop) for d, sl in enumerate(s.index) if d != axis
+        )
+
     shards = sorted(x.addressable_shards, key=start_of)
     seen = set()
     parts = []
+    off_axis = set()
     for s in shards:
-        start = start_of(s)
-        if start in seen:
+        region = region_of(s)
+        if region in seen:
             continue  # replicated across local devices
-        seen.add(start)
+        seen.add(region)
+        off_axis.add(off_axis_region(s))
         parts.append(np.asarray(s.data))
+    if len(off_axis) > 1:
+        raise ValueError(
+            f"host_local_slice(axis={axis}): local shards are partitioned "
+            "along another dimension; reassembling along this axis would "
+            "corrupt data. Pass the sharded axis explicitly."
+        )
     if len(parts) == 1:
         return parts[0]
     return np.concatenate(parts, axis=axis)

@@ -70,6 +70,15 @@ class WindowedEpisodeTracker:
         self.window = window
         self.updates: deque = deque()
         self.total_episodes = 0
+        # Resume seed: display-only average until real episodes arrive
+        # (checkpoint metadata's recent_returns; never mixed into the
+        # length/points/draw series, which it has no data for).
+        self._seed_avg: float = 0.0
+        self._seed_count: int = 0
+
+    def seed(self, avg_return: float, count: int) -> None:
+        self._seed_avg = float(avg_return)
+        self._seed_count = int(count)
 
     def ingest(self, stats: Dict[str, np.ndarray]) -> None:
         s = {k: np.asarray(v) for k, v in stats.items()}
@@ -100,7 +109,7 @@ class WindowedEpisodeTracker:
     def avg_return(self) -> float:
         c = self.window_count
         if c <= 0:
-            return 0.0
+            return self._seed_avg if self._seed_count else 0.0
         return sum(float(u["ret_sum"][0]) for u in self.updates) / c
 
     @property

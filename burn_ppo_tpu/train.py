@@ -304,7 +304,6 @@ class EpisodeTracker:
         self.recent_lengths = deque(maxlen=100)
         self.recent_outcomes = deque(maxlen=100)  # placement vectors
         self.total_episodes = 0
-        self.window_episodes = 0
 
     def ingest(self, logs, env_limit: Optional[int] = None) -> None:
         """Fold completed episodes in; ``env_limit`` restricts to the
@@ -332,7 +331,6 @@ class EpisodeTracker:
             if self.num_players > 1:
                 self.recent_outcomes.append(outcomes[i].tolist())
         self.total_episodes += int(totals.shape[0])
-        self.window_episodes += int(totals.shape[0])
 
     @property
     def avg_return(self) -> float:
@@ -493,6 +491,7 @@ class Trainer:
             )
         self.profile_phases = profile_phases  # pool path stays fused
         self._phase_times: Dict[str, float] = {}
+        self._per_update_time: Optional[float] = None
         if profile_phases:
             # Diagnostic mode: rollout / GAE / update as separate jitted
             # programs so each phase can be fenced and timed, mirroring
@@ -529,6 +528,14 @@ class Trainer:
         self._pool_steps: Dict[int, Any] = {}  # K -> jitted step
         self.num_learner_envs = self.num_envs
         if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "opponent-pool self-play is single-host for now: pool "
+                    "stats and rotation sampling are host-local state and "
+                    "would silently diverge across processes. Run the pool "
+                    "on one host, or set opponent_pool_fraction = 0 for "
+                    "multi-host runs."
+                )
             from burn_ppo_tpu.selfplay.opponent_pool import OpponentPool
             from burn_ppo_tpu.selfplay.rating_history import RatingHistory
 
@@ -549,7 +556,11 @@ class Trainer:
             )
         self._last_elo: Dict[str, float] = {}
 
-        self.metrics = MetricsLogger(self.run_dir)
+        self.metrics = (
+            MetricsLogger(self.run_dir)
+            if self.is_primary
+            else MetricsLogger.null()
+        )
         if self.pool is None:
             # Compact path: episode stats reduced on device
             # (ppo/episode_stats.py); no per-episode host data.
@@ -558,19 +569,10 @@ class Trainer:
             self.tracker = WindowedEpisodeTracker(self.num_players)
             restored = getattr(self, "_restored_recent", [])
             if restored:
-                ret_sum = np.zeros(self.num_players)
-                ret_sum[0] = float(np.sum(restored))
-                self.tracker.ingest(
-                    {
-                        "count": float(len(restored)),
-                        "ret_sum": ret_sum,
-                        "ret0_max": float(np.max(restored)),
-                        "ret0_min": float(np.min(restored)),
-                        "len_sum": 0.0,
-                        "pts_sum": np.zeros(self.num_players),
-                        "draws": 0.0,
-                    }
-                )
+                # Display-only seed: keeps avg_return continuous across a
+                # resume without polluting length/points/draw series or
+                # re-counting episodes (supervisor restarts resume often).
+                self.tracker.seed(float(np.mean(restored)), len(restored))
         else:
             self.tracker = EpisodeTracker(self.num_players)
             for r in getattr(self, "_restored_recent", []):
@@ -692,7 +694,13 @@ class Trainer:
             )
         return self._windows[k]
 
-    def _window_size(self, next_log: int, next_ckpt: int) -> int:
+    def _window_size(
+        self,
+        next_log: int,
+        next_ckpt: int,
+        remaining_seconds: Optional[float] = None,
+        per_update_seconds: Optional[float] = None,
+    ) -> int:
         """Largest power-of-2 update count that stays within every
         boundary (log, checkpoint, total steps), capped at 64. Power-of-2
         quantization bounds the number of distinct compiles."""
@@ -703,6 +711,13 @@ class Trainer:
             self.cfg.total_steps - self.global_step,
         )
         max_updates = max(1, room // spu)
+        if remaining_seconds is not None and per_update_seconds:
+            # A window is one blocking device call; don't overshoot a
+            # --max-training-time budget by more than ~one update.
+            max_updates = min(
+                max_updates,
+                max(1, int(remaining_seconds / per_update_seconds)),
+            )
         k = 1
         while k * 2 <= min(max_updates, 64):
             k *= 2
@@ -776,7 +791,16 @@ class Trainer:
         float(metrics["policy_loss"])
         t3 = time.time()
         self.state = new_state
-        self.tracker.ingest(jax.device_get(logs))
+        if self.pool is None:
+            # Windowed tracker consumes device summaries, not raw logs.
+            from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
+
+            stats = jax.jit(
+                lambda lg: summarize_episode_logs(lg, self.num_players)
+            )(logs)
+            self.tracker.ingest(jax.device_get(stats))
+        else:
+            self.tracker.ingest(self._fetch_logs(logs))
         total = max(t3 - t0, 1e-9)
         self._phase_times = {
             "perf/rollout_time": t1 - t0,
@@ -855,6 +879,22 @@ class Trainer:
                 rotation = self.pool.refresh_rotation() if self.pool else None
                 if rotation is not None:
                     opp_params, opp_norm, active_names = rotation
+                    if cfg.debug_opponents and not self.quiet:
+                        # Reference --debug-opponents: selection diagnostics
+                        # per rotation (opponent_pool.rs logging; e2e.rs:1213).
+                        weights = self.pool.selection_weights()
+                        total_w = sum(weights.values()) or 1.0
+                        parts = []
+                        for n in active_names:
+                            s = self.pool.stats[n]
+                            parts.append(
+                                f"{n}(wr={s.win_rate:.2f},"
+                                f" p={weights[n] / total_w:.2f})"
+                            )
+                        print(
+                            f"[opponents @ step {self.global_step}] "
+                            + " ".join(parts)
+                        )
                     K = len(active_names)
                     if int(self.seating.seat_opp.max()) >= K:
                         # remap stale slots into range after K shrank
@@ -876,7 +916,14 @@ class Trainer:
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
                     updates_done = 1
                 elif self.use_windows:
-                    k = self._window_size(next_log, next_ckpt)
+                    remaining = None
+                    if max_seconds is not None:
+                        remaining = max_seconds - (
+                            time.time() - start_time + self.elapsed_time_offset
+                        )
+                    k = self._window_size(
+                        next_log, next_ckpt, remaining, self._per_update_time
+                    )
                     offsets = [
                         self.global_step + i * steps_per_update for i in range(k)
                     ]
@@ -895,6 +942,10 @@ class Trainer:
                     )
                     self.tracker.ingest(jax.device_get(stats))
                     updates_done = k
+                    # metrics come from the window's LAST update; report
+                    # the schedule values that produced them.
+                    lr = float(lrs[-1])
+                    ent_coef = float(ecs[-1])
                 else:
                     self.state, metrics, logs = self._train_step(
                         self.state,
@@ -908,6 +959,7 @@ class Trainer:
                         self.tracker.ingest(self._fetch_logs(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 step_time = time.time() - t0
+                self._per_update_time = step_time / max(updates_done, 1)
                 if self.trace_capture is not None:
                     self.trace_capture.on_update_end(update_idx)
 

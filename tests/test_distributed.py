@@ -115,3 +115,15 @@ def test_shard_rollout_carry_multiprocess_path(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(placed.last_value_per_player), host_copy
     )
+
+
+def test_host_local_slice_cross_axis_sharding_rejected(monkeypatch):
+    """Shards partitioned along a different axis than requested must fail
+    loudly instead of silently dropping or duplicating data."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    x = jnp.arange(8 * n_dev * 2, dtype=jnp.float32).reshape(8 * n_dev, 2)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="another dimension"):
+        dist.host_local_slice(xs, axis=1)

@@ -109,3 +109,16 @@ def test_tracker_reports():
     assert tr.mean_length == 10.0
     np.testing.assert_allclose(tr.avg_points(), [1.0, 0.0])
     assert tr.draw_rate == 0.2
+
+
+def test_tracker_resume_seed_display_only():
+    """A resume seed feeds avg_return but not length/points series
+    and never inflates total_episodes (supervisor restarts resume often)."""
+    tr = WindowedEpisodeTracker(2)
+    tr.seed(123.0, 21)
+    assert tr.avg_return == 123.0
+    assert not tr.has_data  # no real episode data yet
+    assert tr.total_episodes == 0
+    tr.ingest(stats(10, 5.0))
+    assert tr.avg_return == 5.0  # real data replaces the seed
+    assert tr.mean_length == 10.0

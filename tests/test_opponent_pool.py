@@ -140,3 +140,28 @@ def test_pool_training_e2e(tmp_path):
     assert "eval/pool_performance" in names
     # best symlink exists (rating-driven for multiplayer)
     assert (run / "checkpoints" / "best").exists()
+
+
+def test_debug_opponents_prints_selection(tmp_path, capsys):
+    """--debug-opponents logs the rotation's picks with win rates and
+    normalized selection probabilities (reference e2e.rs:1213)."""
+    cfg = Config(
+        env="connect_four",
+        num_envs=8,
+        num_steps=16,
+        total_steps=768,
+        hidden_size=16,
+        num_hidden=1,
+        learning_rate=Schedule.constant(1e-3),
+        checkpoint_freq=256,
+        log_freq=256,
+        seed=5,
+        opponent_pool_fraction=0.5,
+        max_active_opponents=2,
+        debug_opponents=True,
+    )
+    trainer = Trainer(cfg, tmp_path / "run", quiet=False)
+    trainer.train()
+    out = capsys.readouterr().out
+    assert "[opponents @ step" in out
+    assert "wr=" in out and "p=" in out
