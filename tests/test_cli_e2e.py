@@ -1,0 +1,159 @@
+"""CLI-level end-to-end tests: spawn `python -m burn_ppo_tpu` like the
+reference's e2e.rs spawns the binary (help/version, train, resume, fork,
+eval, error paths, supervisor reload)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(*args, cwd=None, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    return subprocess.run(
+        [sys.executable, "-m", "burn_ppo_tpu", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd or REPO,
+        env=env,
+        timeout=timeout,
+    )
+
+
+def write_tiny_config(path: Path, **kw):
+    lines = {
+        "env": '"cartpole"',
+        "num_envs": 2,
+        "num_steps": 8,
+        "total_steps": 64,
+        "hidden_size": 16,
+        "num_hidden": 1,
+        "learning_rate": 1e-3,
+        "checkpoint_freq": 32,
+        "log_freq": 16,
+        "seed": 7,
+        "opponent_pool_fraction": 0.0,
+    }
+    lines.update(kw)
+    path.write_text("\n".join(f"{k} = {v}" for k, v in lines.items()) + "\n")
+    return path
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """One tiny trained run shared by the read-only CLI tests."""
+    base = tmp_path_factory.mktemp("cli")
+    cfgp = write_tiny_config(base / "tiny.toml")
+    run_dir = base / "run"
+    r = run_cli("train", "-c", str(cfgp), "--run-dir", str(run_dir), "--quiet")
+    assert r.returncode == 0, r.stderr
+    return run_dir
+
+
+# ------------------------------------------------------- basics
+def test_help_and_version():
+    r = run_cli("--help")
+    assert r.returncode == 0
+    for sub in ("train", "eval", "tournament", "interactive"):
+        assert sub in r.stdout
+    r = run_cli("--version")
+    assert r.returncode == 0
+    assert "burn-ppo-tpu" in r.stdout
+
+
+def test_train_creates_artifacts(trained_run):
+    assert (trained_run / "config.toml").exists()
+    assert (trained_run / "metrics.jsonl").exists()
+    latest = trained_run / "checkpoints" / "latest"
+    assert latest.is_symlink()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["env_name"] == "cartpole"
+    assert meta["step"] >= 64
+
+
+def test_train_rejects_existing_run_dir(trained_run, tmp_path):
+    cfgp = write_tiny_config(tmp_path / "tiny.toml")
+    r = run_cli("train", "-c", str(cfgp), "--run-dir", str(trained_run), "--quiet")
+    assert r.returncode != 0
+    assert "resume" in r.stderr.lower() or "resume" in r.stdout.lower()
+
+
+def test_missing_config_errors(tmp_path):
+    r = run_cli("train", "-c", str(tmp_path / "nope.toml"), "--quiet")
+    assert r.returncode != 0
+
+
+def test_resume_extends_run(trained_run):
+    r = run_cli(
+        "train", "--resume", str(trained_run), "--total-steps", "128", "--quiet"
+    )
+    assert r.returncode == 0, r.stderr
+    latest = (trained_run / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["step"] >= 128
+
+
+def test_resume_rejects_config_overrides(trained_run):
+    r = run_cli(
+        "train", "--resume", str(trained_run), "--learning-rate", "1e-4", "--quiet"
+    )
+    assert r.returncode != 0
+    assert "fork" in (r.stderr + r.stdout).lower()
+
+
+def test_resume_missing_run_errors(tmp_path):
+    r = run_cli("train", "--resume", str(tmp_path / "ghost"), "--quiet")
+    assert r.returncode != 0
+
+
+def test_fork_creates_child_with_lineage(trained_run, tmp_path):
+    ckpt = (trained_run / "checkpoints" / "latest").resolve()
+    child = tmp_path / "child"
+    r = run_cli(
+        "train", "--fork", str(ckpt), "--run-dir", str(child),
+        "--runs-base", str(tmp_path), "--learning-rate", "5e-4",
+        "--total-steps", "128", "--quiet",
+    )
+    assert r.returncode == 0, r.stderr
+    meta = json.loads(
+        (child / "checkpoints" / "latest").resolve().joinpath("metadata.json").read_text()
+    )
+    assert meta["forked_from"] == trained_run.name
+    assert meta["step"] >= 128
+    cfg_text = (child / "config.toml").read_text()
+    assert "0.0005" in cfg_text
+
+
+def test_fork_invalid_checkpoint_errors(tmp_path):
+    r = run_cli("train", "--fork", str(tmp_path / "nothing"), "--quiet")
+    assert r.returncode != 0
+
+
+def test_eval_stats_cli(trained_run):
+    r = run_cli(
+        "eval", "-c", str(trained_run), "--random", "-n", "4",
+        "--num-envs", "2", "--seed", "1",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Results over" in r.stdout
+
+
+def test_supervisor_reload_cli(tmp_path):
+    cfgp = write_tiny_config(tmp_path / "tiny.toml")
+    run_dir = tmp_path / "suprun"
+    r = run_cli(
+        "train", "-c", str(cfgp), "--run-dir", str(run_dir),
+        "--reload-every-n-checkpoints", "1", "--quiet",
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    latest = (run_dir / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["step"] >= 64
