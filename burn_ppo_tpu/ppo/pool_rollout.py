@@ -151,15 +151,18 @@ def collect_rollouts_with_opponents(
 
         learner_turn = (seat.learner_seat < 0) | (players == seat.learner_seat)
 
-        # Opponent forward on the pool block only.
+        # Opponent forward on the pool block only. Selections are one-hot
+        # contractions (TPU gathers pay ~12.5ns per index).
         if Ep > 0:
             logits_k = opponent_actions(obs_raw[L:], mask[L:], k_opp)  # [K,Ep,A]
-            acting_slot = jnp.take_along_axis(
-                seat.seat_opp[L:], players[L:, None], axis=1
-            )[:, 0]  # [Ep]
-            opp_logits = jnp.take_along_axis(
-                logits_k, acting_slot[None, :, None], axis=0
-            )[0]  # [Ep, A]
+            seat_oh = jax.nn.one_hot(players[L:], P, dtype=jnp.float32)
+            acting_slot = jnp.sum(
+                seat.seat_opp[L:].astype(jnp.float32) * seat_oh, axis=1
+            ).astype(jnp.int32)  # [Ep]
+            slot_oh = jax.nn.one_hot(
+                acting_slot, logits_k.shape[0], dtype=logits_k.dtype
+            )  # [Ep, K]
+            opp_logits = jnp.einsum("kea,ek->ea", logits_k, slot_oh)
             opp_masked = apply_action_mask(opp_logits, mask[L:])
             opp_actions = sample_categorical(k_opp, opp_masked)
             actions = jnp.concatenate(
@@ -178,9 +181,8 @@ def collect_rollouts_with_opponents(
 
         all_rewards = terminal.rewards  # [E, P]
         dones = terminal.done
-        acting_reward = jnp.take_along_axis(all_rewards, players[:, None], axis=1)[:, 0]
-
         onehot = jax.nn.one_hot(players, P, dtype=values.dtype)
+        acting_reward = jnp.sum(all_rewards * onehot.astype(all_rewards.dtype), axis=1)
         # Record last values only on learner turns (learner's own chain).
         last_vpp = jnp.where(
             learner_turn[:, None] & (onehot > 0),

@@ -160,16 +160,16 @@ def collect_rollouts(
 
         all_rewards = terminal.rewards  # [E, P]
         dones = terminal.done  # [E] bool
-        acting_reward = jnp.take_along_axis(
-            all_rewards, players[:, None], axis=1
-        )[:, 0]
+        # One-hot contraction, not take_along_axis: per-row TPU gathers
+        # cost ~12.5ns/index, a real cost at T*E index ops per rollout.
+        onehot = jax.nn.one_hot(players, P, dtype=all_rewards.dtype)
+        acting_reward = jnp.sum(all_rewards * onehot, axis=1)
 
         ret_norm = c.return_norm
         if normalize_returns:
             ret_norm, acting_reward = return_norm_step(
                 ret_norm, acting_reward, players, dones, gamma, return_clip
             )
-        onehot = jax.nn.one_hot(players, P, dtype=all_rewards.dtype)
         all_rewards = all_rewards * (1.0 - onehot) + acting_reward[:, None] * onehot
 
         last_vpp = (
