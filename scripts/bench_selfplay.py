@@ -2,10 +2,15 @@
 at TPU scale (Connect Four, hidden 512, K=8 stacked opponents).
 
 The stacked-parameter vmap design makes the opponent forward ~free:
-measured 295ms (pool) vs 294ms (selfplay) per update at 16384 envs x 64
-steps on one v5e chip = 3.56M env-steps/s.
+measured 251ms (pool) vs 242ms (selfplay) per update at 16384 envs x 64
+steps on one v5e chip = 4.2M env-steps/s.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax, jax.numpy as jnp
 from burn_ppo_tpu.config import Config
 from burn_ppo_tpu.envs import make_env
