@@ -1058,6 +1058,16 @@ class Trainer:
         log("perf/sps", sps, step)
         for name, value in self._phase_times.items():
             log(name, value, step)
+        # Device memory (heap-profiling analog of the reference's
+        # stats_alloc net-bytes logging, main.rs:675-681).
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "bytes_in_use" in stats:
+                log("perf/device_mb_in_use", stats["bytes_in_use"] / 2**20, step)
+            if "peak_bytes_in_use" in stats:
+                log("perf/device_mb_peak", stats["peak_bytes_in_use"] / 2**20, step)
+        except Exception:
+            pass
         for name, value in self._last_elo.items():
             log(name, value, step)
         if self.pool is not None:
