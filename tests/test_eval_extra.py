@@ -178,3 +178,46 @@ def test_player_source_kinds():
     assert PlayerSource.random().kind == "random"
     assert PlayerSource.human("me").kind == "human"
     assert PlayerSource.human("me").name == "me"
+
+
+# ------------------------------------------------------- watch mode
+def test_watch_mode_random_players(capsys):
+    from burn_ppo_tpu.eval import run_watch_mode
+
+    env = make_env("connect_four")
+    run_watch_mode(
+        env, [PlayerSource.random(), PlayerSource.random()],
+        num_games=1, temp=TempSchedule(1.0), seed=0,
+    )
+    out = capsys.readouterr().out
+    assert "=== Game 1/1 ===" in out
+    assert "Final rewards" in out
+    assert "Random (P0)" in out
+
+
+def test_watch_mode_step_mode_waits_for_enter(capsys, monkeypatch):
+    from burn_ppo_tpu.eval import run_watch_mode
+
+    presses = []
+    monkeypatch.setattr("builtins.input", lambda *_: presses.append(1) or "")
+    env = make_env("connect_four")
+    run_watch_mode(
+        env, [PlayerSource.random(), PlayerSource.random()],
+        num_games=1, temp=TempSchedule(1.0), seed=1, step_mode=True,
+    )
+    assert len(presses) > 0  # paused at least once per move
+
+
+def test_human_interactive_game(capsys, monkeypatch):
+    """Full human-vs-random game through the terminal loop."""
+    from burn_ppo_tpu.eval import run_interactive_evaluation
+
+    env = make_env("connect_four")
+    moves = iter(["1", "2", "3", "4", "5", "6", "7"] * 6)
+    monkeypatch.setattr("builtins.input", lambda *_: next(moves))
+    run_interactive_evaluation(
+        env, [PlayerSource.human("You"), PlayerSource.random()],
+        num_games=1, temp=TempSchedule(1.0), seed=2,
+    )
+    out = capsys.readouterr().out
+    assert "Final rewards" in out or "wins" in out.lower()
