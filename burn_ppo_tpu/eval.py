@@ -203,6 +203,27 @@ class EvalStats:
             )
         return rows
 
+    def compute_ratings(self):
+        """Plackett-Luce MLE ratings over the recorded games, anchored at
+        'Random' if present else the first source (reference stats mode
+        prints a ratings table, eval.rs:315-718)."""
+        from burn_ppo_tpu.selfplay.plackett_luce import (
+            GameResult,
+            compute_ratings,
+        )
+
+        games = [
+            GameResult.of([src for src, _ in rec], [pl for _, pl in rec])
+            for rec in self.game_records
+            if len(rec) > 1
+        ]
+        anchor = 0
+        for i, name in enumerate(self.source_names):
+            if name == "Random":
+                anchor = i
+                break
+        return compute_ratings(len(self.source_names), games, anchor)
+
     def print_table(self) -> None:
         print(f"\nResults over {self.total_games} games "
               f"(draw rate {self.draws / max(self.total_games, 1):.1%}):")
@@ -214,6 +235,15 @@ class EvalStats:
                 f"{row['name']:<40} {row['games']:>6} {row['win_rate']:>6.1%} "
                 f"{row['avg_placement']:>9.2f} {row['avg_reward']:>10.3f}"
             )
+        # Ratings need at least two distinct sources to be meaningful.
+        if len(set(self.source_names)) > 1 and self.game_records:
+            result = self.compute_ratings()
+            print(f"\n{'Player':<40} {'Rating':>8} {'±2σ':>8}")
+            print("-" * 58)
+            for name, pr in zip(self.source_names, result.ratings):
+                print(
+                    f"{name:<40} {pr.rating:>8.0f} {2 * pr.uncertainty:>8.0f}"
+                )
 
 
 # ---------------------------------------------------------------------------

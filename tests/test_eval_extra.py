@@ -221,3 +221,31 @@ def test_human_interactive_game(capsys, monkeypatch):
     )
     out = capsys.readouterr().out
     assert "Final rewards" in out or "wins" in out.lower()
+
+
+# ------------------------------------------------------- ratings table
+def test_eval_stats_ratings_dominant_source():
+    st = EvalStats(["Model", "Random"], num_players=2)
+    for _ in range(30):
+        st.record_game([0, 1], [1, 2], [1.0, -1.0])
+    for _ in range(5):
+        st.record_game([0, 1], [2, 1], [-1.0, 1.0])
+    result = st.compute_ratings()
+    assert result.ratings[1].rating == 1000.0  # Random anchored
+    assert result.ratings[0].rating > 1100.0
+
+
+def test_eval_stats_print_includes_ratings(capsys):
+    st = EvalStats(["A", "Random"], num_players=2)
+    st.record_game([0, 1], [1, 2], [1.0, -1.0])
+    st.record_game([1, 0], [2, 1], [-1.0, 1.0])
+    st.print_table()
+    out = capsys.readouterr().out
+    assert "Rating" in out
+
+
+def test_eval_stats_no_ratings_for_selfplay(capsys):
+    st = EvalStats(["A"], num_players=2)
+    st.record_game([0, 0], [1, 2], [1.0, -1.0])
+    st.print_table()
+    assert "Rating" not in capsys.readouterr().out
