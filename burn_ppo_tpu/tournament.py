@@ -488,6 +488,7 @@ def run_tournament(
             }
         )
 
+    points_history: List[List[float]] = [[0.0] * n]  # per-round snapshots
     for round_idx in range(1, num_rounds + 1):
         if use_swiss:
             # Byes (tournament.rs:2085-2117)
@@ -513,6 +514,7 @@ def run_tournament(
             print(f"Round {round_idx}: {len(pods)} pods")
         for pod in pods:
             run_pod(pod, round_idx)
+        points_history.append([c.swiss_points for c in contestants])
 
     # Final ratings over ALL games (tournament.rs:1035)
     anchor = find_anchor_index(contestants)
@@ -567,8 +569,44 @@ def run_tournament(
         if not quiet:
             print(f"Results written to {output}")
     if graph:
-        _generate_rating_graph(contestants, result, Path(output or "tournament").with_suffix(".png"))
+        base = Path(output or "tournament")
+        _generate_rating_graph(contestants, result, base.with_suffix(".png"))
+        _generate_points_graph(
+            contestants, points_history,
+            base.with_name(base.stem + "_points").with_suffix(".png"),
+        )
     return results
+
+
+def _generate_points_graph(
+    contestants, points_history: List[List[float]], out_path: Path
+) -> bool:
+    """Swiss points per contestant over rounds (tournament.rs:1533)."""
+    if len(points_history) < 2:
+        return False
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    rounds = list(range(len(points_history)))
+    fig, ax = plt.subplots(figsize=(9, 6))
+    final = points_history[-1]
+    order = sorted(range(len(contestants)), key=lambda i: -final[i])
+    for rank, i in enumerate(order):
+        series = [snap[i] for snap in points_history]
+        label = contestants[i].name if rank < 12 else None
+        ax.plot(rounds, series, marker="o", ms=3, label=label)
+    ax.set_xlabel("round")
+    ax.set_ylabel("Swiss points")
+    ax.set_title("Swiss points by round")
+    ax.legend(fontsize=7, loc="upper left")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return True
 
 
 def _generate_rating_graph(contestants, result, out_path: Path) -> bool:

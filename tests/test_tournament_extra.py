@@ -239,3 +239,19 @@ def test_anchor_earliest_step_otherwise():
 def test_anchor_fallback_last():
     cs = [C(name="a"), C(name="b")]
     assert find_anchor_index(cs) == 1
+
+
+def test_points_graph_written(tmp_path):
+    from burn_ppo_tpu.tournament import _generate_points_graph
+
+    cs = [C(name=f"c{i}") for i in range(3)]
+    history = [[0.0, 0.0, 0.0], [2.0, 1.0, 0.0], [3.5, 2.0, 0.5]]
+    out = tmp_path / "t_points.png"
+    assert _generate_points_graph(cs, history, out)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_points_graph_requires_rounds(tmp_path):
+    from burn_ppo_tpu.tournament import _generate_points_graph
+
+    assert not _generate_points_graph([], [[0.0]], tmp_path / "x.png")
