@@ -24,7 +24,7 @@ import itertools
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import ClassVar, Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,11 +55,25 @@ class PlayerSource:
     params: Any = None
     obs_norm: Any = None
 
+    # Model dedup across sources: the same checkpoint referenced N times
+    # (self-play seats, tournament rematches) loads once (the reference
+    # dedups per unique path, eval.rs:772-946).
+    _load_cache: ClassVar[dict] = {}
+
     @staticmethod
     def checkpoint(path: str | Path) -> "PlayerSource":
         path = Path(path)
-        network, params, meta = CheckpointManager.load_model(path)
-        obs_norm = CheckpointManager.load_obs_normalizer(path)
+        cache_key = str(path.resolve())
+        if cache_key in PlayerSource._load_cache:
+            network, params, obs_norm = PlayerSource._load_cache[cache_key]
+        else:
+            network, params, _meta = CheckpointManager.load_model(path)
+            obs_norm = CheckpointManager.load_obs_normalizer(path)
+            PlayerSource._load_cache[cache_key] = (network, params, obs_norm)
+            while len(PlayerSource._load_cache) > 64:
+                PlayerSource._load_cache.pop(
+                    next(iter(PlayerSource._load_cache))
+                )
         # runs/<run>/checkpoints/step_X -> "<run>/step_X"
         name = f"{path.parent.parent.name}/{path.name}" if path.name.startswith(
             "step_"

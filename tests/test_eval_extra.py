@@ -249,3 +249,23 @@ def test_eval_stats_no_ratings_for_selfplay(capsys):
     st.record_game([0, 0], [1, 2], [1.0, -1.0])
     st.print_table()
     assert "Rating" not in capsys.readouterr().out
+
+
+def test_checkpoint_source_dedup_cache(tmp_path):
+    """The same checkpoint path loads once across sources."""
+    import jax
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.models.network import ActorCriticNetwork
+
+    net = ActorCriticNetwork(network_type="mlp", obs_dim=5, action_count=2,
+                             hidden_size=8, num_hidden=1, activation="tanh")
+    params = net.init(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(tmp_path)
+    meta = build_metadata(step=1, env_name="cartpole", network=net, num_players=1)
+    path = mgr.save(1, params, {}, {}, meta)
+
+    PlayerSource._load_cache.clear()
+    s1 = PlayerSource.checkpoint(path)
+    s2 = PlayerSource.checkpoint(path)
+    assert s1.params is s2.params  # shared, not reloaded
+    assert len(PlayerSource._load_cache) == 1
