@@ -63,17 +63,22 @@ class PlayerSource:
     @staticmethod
     def checkpoint(path: str | Path) -> "PlayerSource":
         path = Path(path)
-        cache_key = str(path.resolve())
-        if cache_key in PlayerSource._load_cache:
-            network, params, obs_norm = PlayerSource._load_cache[cache_key]
+        # Key includes the metadata mtime so a checkpoint re-written at
+        # the same path (in-process retrain) is never served stale.
+        try:
+            mtime = (path / "metadata.json").stat().st_mtime_ns
+        except OSError:
+            mtime = 0
+        cache_key = (str(path.resolve()), mtime)
+        cache = PlayerSource._load_cache
+        if cache_key in cache:
+            network, params, obs_norm = cache.pop(cache_key)  # LRU bump
         else:
             network, params, _meta = CheckpointManager.load_model(path)
             obs_norm = CheckpointManager.load_obs_normalizer(path)
-            PlayerSource._load_cache[cache_key] = (network, params, obs_norm)
-            while len(PlayerSource._load_cache) > 64:
-                PlayerSource._load_cache.pop(
-                    next(iter(PlayerSource._load_cache))
-                )
+        cache[cache_key] = (network, params, obs_norm)
+        while len(cache) > 64:
+            cache.pop(next(iter(cache)))
         # runs/<run>/checkpoints/step_X -> "<run>/step_X"
         name = f"{path.parent.parent.name}/{path.name}" if path.name.startswith(
             "step_"
@@ -226,17 +231,21 @@ class EvalStats:
             compute_ratings,
         )
 
-        games = [
-            GameResult.of([src for src, _ in rec], [pl for _, pl in rec])
-            for rec in self.game_records
-            if len(rec) > 1
-        ]
+        games = []
+        for rec in self.game_records:
+            srcs = [src for src, _ in rec]
+            # Skip games where one source occupies multiple seats: they
+            # would create degenerate self-comparisons (the tournament
+            # runner applies the same filter, tournament.rs semantics).
+            if len(rec) < 2 or len(set(srcs)) != len(srcs):
+                continue
+            games.append(GameResult.of(srcs, [pl for _, pl in rec]))
         anchor = 0
         for i, name in enumerate(self.source_names):
             if name == "Random":
                 anchor = i
                 break
-        return compute_ratings(len(self.source_names), games, anchor)
+        return compute_ratings(len(self.source_names), games, anchor), len(games)
 
     def print_table(self) -> None:
         print(f"\nResults over {self.total_games} games "
@@ -249,15 +258,18 @@ class EvalStats:
                 f"{row['name']:<40} {row['games']:>6} {row['win_rate']:>6.1%} "
                 f"{row['avg_placement']:>9.2f} {row['avg_reward']:>10.3f}"
             )
-        # Ratings need at least two distinct sources to be meaningful.
+        # Ratings need 2+ distinct sources and at least one game with
+        # every seat held by a different source.
         if len(set(self.source_names)) > 1 and self.game_records:
-            result = self.compute_ratings()
-            print(f"\n{'Player':<40} {'Rating':>8} {'±2σ':>8}")
-            print("-" * 58)
-            for name, pr in zip(self.source_names, result.ratings):
-                print(
-                    f"{name:<40} {pr.rating:>8.0f} {2 * pr.uncertainty:>8.0f}"
-                )
+            result, n_rated = self.compute_ratings()
+            if n_rated > 0:
+                print(f"\n{'Player':<40} {'Rating':>8} {'±2σ':>8}"
+                      f"   ({n_rated} rated games)")
+                print("-" * 58)
+                for name, pr in zip(self.source_names, result.ratings):
+                    print(
+                        f"{name:<40} {pr.rating:>8.0f} {2 * pr.uncertainty:>8.0f}"
+                    )
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,8 @@ def log_prob_categorical(logits: jax.Array, actions: jax.Array) -> jax.Array:
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp.dtype)
-    return jnp.sum(logp * onehot, axis=-1)
+    # where() keeps -inf-masked rows finite: (-inf * 0.0) would be NaN.
+    return jnp.sum(jnp.where(onehot > 0, logp, 0.0), axis=-1)
 
 
 def entropy_categorical(logits: jax.Array) -> jax.Array:

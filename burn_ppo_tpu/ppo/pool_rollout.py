@@ -151,13 +151,14 @@ def collect_rollouts_with_opponents(
 
         learner_turn = (seat.learner_seat < 0) | (players == seat.learner_seat)
 
+        onehot = jax.nn.one_hot(players, P, dtype=values.dtype)  # [E, P]
+
         # Opponent forward on the pool block only. Selections are one-hot
         # contractions (TPU gathers pay ~12.5ns per index).
         if Ep > 0:
             logits_k = opponent_actions(obs_raw[L:], mask[L:], k_opp)  # [K,Ep,A]
-            seat_oh = jax.nn.one_hot(players[L:], P, dtype=jnp.float32)
             acting_slot = jnp.sum(
-                seat.seat_opp[L:].astype(jnp.float32) * seat_oh, axis=1
+                seat.seat_opp[L:].astype(values.dtype) * onehot[L:], axis=1
             ).astype(jnp.int32)  # [Ep]
             slot_oh = jax.nn.one_hot(
                 acting_slot, logits_k.shape[0], dtype=logits_k.dtype
@@ -181,7 +182,6 @@ def collect_rollouts_with_opponents(
 
         all_rewards = terminal.rewards  # [E, P]
         dones = terminal.done
-        onehot = jax.nn.one_hot(players, P, dtype=values.dtype)
         acting_reward = jnp.sum(all_rewards * onehot.astype(all_rewards.dtype), axis=1)
         # Record last values only on learner turns (learner's own chain).
         last_vpp = jnp.where(

@@ -78,3 +78,13 @@ def test_temperature_high_flattens():
     frac_high = float(jnp.mean(a_high.astype(jnp.float32)))
     assert frac_low > 0.99
     assert 0.4 < frac_high < 0.75
+
+
+def test_log_prob_finite_with_inf_mask():
+    """-inf masking (the common JAX idiom) must not poison the selection."""
+    import numpy as np
+    from burn_ppo_tpu.ops.categorical import log_prob_categorical
+
+    logits = jnp.asarray([[1.0, -jnp.inf, 0.5]])
+    lp = log_prob_categorical(logits, jnp.asarray([0]))
+    assert np.isfinite(np.asarray(lp)).all()

@@ -230,7 +230,8 @@ def test_eval_stats_ratings_dominant_source():
         st.record_game([0, 1], [1, 2], [1.0, -1.0])
     for _ in range(5):
         st.record_game([0, 1], [2, 1], [-1.0, 1.0])
-    result = st.compute_ratings()
+    result, n_rated = st.compute_ratings()
+    assert n_rated == 35
     assert result.ratings[1].rating == 1000.0  # Random anchored
     assert result.ratings[0].rating > 1100.0
 
@@ -249,6 +250,41 @@ def test_eval_stats_no_ratings_for_selfplay(capsys):
     st.record_game([0, 0], [1, 2], [1.0, -1.0])
     st.print_table()
     assert "Rating" not in capsys.readouterr().out
+
+
+def test_eval_stats_ratings_skip_multiseat_games(capsys):
+    """Games where one source holds multiple seats (S != P cycling) are
+    excluded from the ratings fit; with only such games, no table prints."""
+    st = EvalStats(["A", "Random"], num_players=4)
+    st.record_game([0, 1, 0, 1], [1, 2, 3, 4], [1.0, 0.33, -0.33, -1.0])
+    result, n_rated = st.compute_ratings()
+    assert n_rated == 0
+    st.print_table()
+    assert "Rating" not in capsys.readouterr().out
+
+
+def test_checkpoint_cache_invalidates_on_rewrite(tmp_path):
+    import time as _time
+
+    import jax
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.models.network import ActorCriticNetwork
+
+    net = ActorCriticNetwork(network_type="mlp", obs_dim=5, action_count=2,
+                             hidden_size=8, num_hidden=1, activation="tanh")
+    mgr = CheckpointManager(tmp_path)
+    meta = build_metadata(step=1, env_name="cartpole", network=net, num_players=1)
+    p1 = net.init(jax.random.PRNGKey(0))
+    path = mgr.save(1, p1, {}, {}, meta)
+    PlayerSource._load_cache.clear()
+    s1 = PlayerSource.checkpoint(path)
+    _time.sleep(0.01)
+    p2 = net.init(jax.random.PRNGKey(99))
+    mgr.save(1, p2, {}, {}, meta)  # rewrite same step dir
+    s2 = PlayerSource.checkpoint(path)
+    a = np.asarray(s1.params["layers"][0]["kernel"])
+    b = np.asarray(s2.params["layers"][0]["kernel"])
+    assert not np.allclose(a, b)  # fresh weights served
 
 
 def test_checkpoint_source_dedup_cache(tmp_path):
