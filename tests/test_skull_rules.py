@@ -334,3 +334,111 @@ def test_render_smoke(env):
     s = fresh(env)
     text = env.render(s)
     assert "Skull" in text and "Placing" in text
+
+
+# ------------------------------------------------------- obs encoding
+def test_obs_dims_and_range(env):
+    s = fresh(env)
+    o = np.asarray(env.obs(s))
+    assert o.shape == (135,)
+    assert np.all(o >= -1.0) and np.all(o <= 1.0)
+
+
+def test_obs_own_hand_fresh(env):
+    s = fresh(env)
+    o = np.asarray(env.obs(s))
+    # own hand: skull flag + 3 rose flags all present at reset
+    assert o[:4].tolist() == [1.0, 1.0, 1.0, 1.0]
+    # own stack empty
+    assert o[4:8].tolist() == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_obs_phase_onehot_transitions(env):
+    s = place_all_roses(env, fresh(env))
+    o_placing = np.asarray(env.obs(fresh(env)))
+    s = env.step(s, BID(1))
+    o_bidding = np.asarray(env.obs(s))
+    # layout: hand(4)+stack(4)+stack_sizes/coasters/alive/exists(4*6)+seat(6)
+    base = 4 + 4 + 6 * 4 + 6
+    assert o_placing[base:base + 3].tolist() == [1.0, 0.0, 0.0]
+    assert o_bidding[base:base + 3].tolist() == [0.0, 1.0, 0.0]
+
+
+def test_obs_player_count_onehot(env):
+    from burn_ppo_tpu.envs.skull import Skull
+
+    for n in (2, 4, 6):
+        e = Skull(n)
+        o = np.asarray(e.obs(e.reset(jax.random.PRNGKey(0))))
+        # player-count one-hot (MAXP-1 wide) encodes n-2; offset =
+        # 38 (through seat) + phase(3)+bid(1)+bidder(6)+passed(6)+wins(6)+revealed(6)
+        seg = o[66:71]
+        assert seg[n - 2] == 1.0
+        assert seg.sum() == 1.0
+
+
+def test_priv_obs_contains_true_skull_positions(env):
+    s = fresh(env)
+    s = env.step(s, jnp.asarray(PLACE_SKULL))
+    p = np.asarray(env.privileged_obs(s))
+    assert p.shape == (200,)
+    assert np.isfinite(p).all()
+    # the skulls-in-stack per-player block must show P0's hidden skull
+    assert (p > 0).sum() > 5
+
+
+def test_six_player_full_game_random(env):
+    from burn_ppo_tpu.envs.skull import Skull, A as NA
+
+    e = Skull(6)
+    e.step = jax.jit(e.step)
+    e.action_mask = jax.jit(e.action_mask)
+    s = e.reset(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(11)
+    for _ in range(600):
+        if bool(s.game_over):
+            break
+        mask = np.asarray(e.action_mask(s)).astype(np.float64)
+        key, sub = jax.random.split(key)
+        a = int(jax.random.choice(sub, NA, p=jnp.asarray(mask / mask.sum())))
+        s = e.step(s, jnp.asarray(a))
+    assert bool(s.game_over)
+    places = np.asarray(e._placements(s))
+    assert places.min() == 1 and places.max() <= 6
+    r = np.asarray(s.rewards)
+    assert r.max() == pytest.approx(1.0) and r.min() == pytest.approx(-1.0)
+
+
+def test_two_player_pass_masked_when_opponent_passed(env):
+    from burn_ppo_tpu.envs.skull import Skull
+
+    e = Skull(2)
+    e.step = jax.jit(e.step)
+    s = e.reset(jax.random.PRNGKey(0))
+    s = e.step(s, jnp.asarray(PLACE_ROSE))
+    s = e.step(s, jnp.asarray(PLACE_ROSE))
+    s = e.step(s, BID(1))  # P0 opens
+    # P1 is the only other player; if they pass, P0 must reveal
+    s = e.step(s, jnp.asarray(PASS))
+    assert int(s.phase) == 2
+    assert int(s.current_bidder) == 0
+
+
+def test_game_over_mask_empty(env):
+    s = fresh(env)
+    s = s.replace(game_over=jnp.ones((), jnp.bool_))
+    mask = np.asarray(env.action_mask(s))
+    assert not mask.any()
+
+
+def test_step_after_game_over_is_terminal_noop(env):
+    s = place_all_roses(env, fresh(env))
+    s = env.step(s, BID(4))
+    bidder = int(s.current_bidder)
+    # drive to a win twice to end the game artificially
+    s = s.replace(
+        game_over=jnp.ones((), jnp.bool_), winner=jnp.asarray(bidder, jnp.int32)
+    )
+    s2 = env.step(s, jnp.asarray(PLACE_ROSE))
+    assert bool(s2.done)
+    assert float(np.abs(np.asarray(s2.rewards)).sum()) == 0.0
