@@ -84,3 +84,56 @@ def test_to_toml_value_roundtrip():
     assert Schedule.parse(s.to_toml_value()) == s
     c = Schedule.constant(0.3)
     assert Schedule.parse(c.to_toml_value()) == c
+
+
+def test_parse_step_suffix_case_insensitive():
+    from burn_ppo_tpu.schedule import parse_step_with_suffix
+
+    assert parse_step_with_suffix("30m") == 30_000_000
+    assert parse_step_with_suffix("2k") == 2_000
+    assert parse_step_with_suffix("1.5M") == 1_500_000
+    assert parse_step_with_suffix(" 40M ") == 40_000_000
+
+
+def test_parse_step_negative_rejected():
+    from burn_ppo_tpu.schedule import parse_step_with_suffix
+
+    with pytest.raises(ValueError):
+        parse_step_with_suffix("-5K")
+    with pytest.raises(ValueError):
+        parse_step_with_suffix("")
+
+
+def test_parse_accepts_existing_schedule():
+    s = Schedule.constant(0.5)
+    assert Schedule.parse(s) is s
+
+
+def test_parse_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        Schedule.parse([[1.0]])
+    with pytest.raises(ValueError):
+        Schedule.parse([])
+    with pytest.raises(ValueError):
+        Schedule.parse(object())
+
+
+def test_exact_milestone_values():
+    s = Schedule.parse([[1.0, 0], [0.5, 100], [0.0, 200]])
+    assert s.get(0) == 1.0
+    assert s.get(100) == 0.5
+    assert s.get(200) == 0.0
+    assert s.get(1_000_000) == 0.0
+
+
+def test_is_constant_property():
+    assert Schedule.constant(3.0).is_constant
+    assert not Schedule.parse([[1.0, 0], [0.0, 10]]).is_constant
+    # single milestone at a nonzero step is NOT "constant" (held before)
+    assert not Schedule.of([(1.0, 5)]).is_constant
+
+
+def test_str_roundtrip_through_cli_parse():
+    s = Schedule.parse([[1e-3, 0], [1e-4, 30_000_000]])
+    s2 = Schedule.parse_cli(str(s))
+    assert s2.milestones == s.milestones
