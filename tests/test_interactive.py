@@ -110,3 +110,45 @@ def test_sessions_isolated(server):
     call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0}, sid="s1")
     state2 = call(server, "/api/game_state", sid="s2")
     assert not state2["active"]
+
+
+def test_ai_probs_sum_to_one(server):
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 0}, sid="p1")
+    r = call(server, "/api/ai_probs", {}, sid="p1")
+    probs = r["probs"]
+    total = sum(p["prob"] for p in probs)
+    assert abs(total - 1.0) < 1e-3
+    assert all(p["prob"] >= 0 for p in probs)
+
+
+def test_illegal_action_has_zero_prob_or_absent(server):
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 0}, sid="p2")
+    r = call(server, "/api/ai_probs", {}, sid="p2")
+    # placing phase: pass (action 26) is illegal; it must not be suggested
+    names = [p["label"] for p in r["probs"] if p["prob"] > 0]
+    assert all("Pass" not in n for n in names)
+
+
+def test_history_endpoint_tracks_actions(server):
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 1}, sid="p3")
+    call(server, "/api/execute_action", {"action": 1}, sid="p3")  # place rose
+    r = call(server, "/api/history", sid="p3")
+    assert len(r["history"]) == 1
+    assert "Rose" in r["history"][0]["action"]
+    call(server, "/api/clear_history", {}, sid="p3")
+    r = call(server, "/api/history", sid="p3")
+    assert r["history"] == []
+
+
+def test_set_ai_seat_roundtrip(server):
+    call(server, "/api/new_game", {"num_players": 4, "ai_seat": 0}, sid="p4")
+    call(server, "/api/set_ai_seat", {"seat": 2}, sid="p4")
+    r = call(server, "/api/game_state", sid="p4")
+    assert r["ai_seat"] == 2
+
+
+def test_new_game_player_counts(server):
+    for n in (2, 5):
+        r = call(server, "/api/new_game", {"num_players": n, "ai_seat": 0},
+                 sid=f"pc{n}")
+        assert len(r["state"]["players"]) == n
