@@ -56,6 +56,10 @@ def _add_train_parser(sub):
                    help="Update index at which the trace starts")
     p.add_argument("--profile-updates", type=int, default=2,
                    help="Number of updates to trace")
+    p.add_argument("--checkify", action="store_true",
+                   help="Debug mode: functionalized NaN/div checks through "
+                        "the train step (reference runtime asserts, "
+                        "ppo.rs:363-366); ~2x slower")
     p.add_argument("--profile-phases", action="store_true",
                    help="Unfused diagnostic mode: time rollout/GAE/update "
                         "separately (logs perf/rollout_time etc.)")
@@ -275,6 +279,7 @@ def run_train(args, argv=None) -> int:
             elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
             profile_dir=args.profile_dir, profile_start=args.profile_start,
             profile_updates=args.profile_updates, profile_phases=args.profile_phases,
+            debug_checkify=args.checkify,
         )
     elif args.fork:
         ckpt = Path(args.fork)
@@ -297,6 +302,7 @@ def run_train(args, argv=None) -> int:
             forked_from_run=parent_name, quiet=args.quiet,
             profile_dir=args.profile_dir, profile_start=args.profile_start,
             profile_updates=args.profile_updates, profile_phases=args.profile_phases,
+            debug_checkify=args.checkify,
         )
     else:
         cfg = Config.load(args.config).apply_overrides(overrides)
@@ -318,6 +324,7 @@ def run_train(args, argv=None) -> int:
             elapsed_time_offset=args.elapsed_time_offset_ms / 1000.0,
             profile_dir=args.profile_dir, profile_start=args.profile_start,
             profile_updates=args.profile_updates, profile_phases=args.profile_phases,
+            debug_checkify=args.checkify,
         )
 
     summary = trainer.train()

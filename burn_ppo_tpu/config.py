@@ -66,15 +66,21 @@ class PlayerCountMode:
     min_players: int = 2
     max_players: int = 6
     weights: Tuple[float, ...] = ()
-    # curriculum: [[player_count, step], ...]
+    # curriculum: [[player_count, step], ...] (this framework's spelling)
     milestones: Tuple[Tuple[int, int], ...] = ()
+    # curriculum: steps to ramp min -> max (reference config.rs:657-663)
+    warmup_steps: int = 0
 
     def get_fixed_count(self) -> int:
-        """Training uses a fixed per-run count (main.rs:1998); non-fixed
-        modes resolve to their max for buffer sizing."""
+        """Initial/fixed player count for training setup.
+
+        Reference semantics (config.rs:675-681): Fixed -> count,
+        UniformRandom | Curriculum -> min, WeightedRandom -> 4."""
         if self.mode == "fixed":
             return self.count
-        return self.max_players
+        if self.mode == "weighted_random":
+            return 4
+        return self.min_players
 
     @staticmethod
     def parse(value: Any) -> "PlayerCountMode":
@@ -97,6 +103,7 @@ class PlayerCountMode:
                 milestones=tuple(
                     (int(c), int(s)) for c, s in value.get("milestones", ())
                 ),
+                warmup_steps=int(value.get("warmup_steps", 0)),
             )
         raise ValueError(f"Cannot parse player_count from {value!r}")
 
@@ -109,7 +116,14 @@ class PlayerCountMode:
         if self.mode == "weighted_random":
             d["weights"] = list(self.weights)
         if self.mode == "curriculum":
-            d["milestones"] = [[c, s] for c, s in self.milestones]
+            if self.milestones:
+                d["milestones"] = [[c, s] for c, s in self.milestones]
+            else:
+                d.update(
+                    min_players=self.min_players,
+                    max_players=self.max_players,
+                    warmup_steps=self.warmup_steps,
+                )
         return d
 
 
@@ -192,6 +206,10 @@ class Config:
     # Epoch-shuffle tile size: 0 = auto (exact per-sample shuffle at
     # reference batch sizes, tiled at TPU scale), 1 = always exact.
     shuffle_block_rows: int = 0
+    # Runtime-guard policy for empty action masks / non-finite outputs:
+    # "raise" (reference panics, utils.rs:115-135 + ppo.rs:363-366),
+    # "warn" (log + continue), "off" (skip the device-side reductions).
+    runtime_guards: str = "raise"
 
     def __post_init__(self):
         # Normalize flexible-typed fields on direct construction too.
@@ -260,6 +278,8 @@ class Config:
                 errors.append(str(e))
         if self.compute_dtype not in (None, "bfloat16"):
             errors.append("compute_dtype must be null or 'bfloat16'")
+        if self.runtime_guards not in ("raise", "warn", "off"):
+            errors.append("runtime_guards must be raise|warn|off")
         if errors:
             raise ValueError("Invalid config:\n  " + "\n  ".join(errors))
 

@@ -203,10 +203,6 @@ class EvalStats:
         rows = []
         for s, name in enumerate(self.source_names):
             games = max(self.games[s], 1)
-            total_points = 0.0
-            for place_idx, count in enumerate(self.placements[s]):
-                # Swiss points approximation per recorded placement
-                total_points += count * (self.num_players - (place_idx + 1))
             avg_place = (
                 sum((i + 1) * c for i, c in enumerate(self.placements[s])) / games
             )
@@ -225,7 +221,19 @@ class EvalStats:
     def compute_ratings(self):
         """Plackett-Luce MLE ratings over the recorded games, anchored at
         'Random' if present else the first source (reference stats mode
-        prints a ratings table, eval.rs:315-718)."""
+        prints a ratings table, eval.rs:315-718).
+
+        Intentional divergences from the reference's stats-mode ratings
+        (eval.rs:591-607), kept because they make the table strictly more
+        informative for the common "checkpoint vs Random" usage:
+          * games where one SOURCE holds multiple seats are skipped (the
+            reference rates per seat-slot, so self-play seats would
+            produce degenerate self-comparisons after the merge-by-source
+            this table performs);
+          * the anchor is 'Random' when present (a stable absolute
+            reference point) instead of always index 0;
+          * the interval column is ±2σ (≈95%) instead of ±σ.
+        """
         from burn_ppo_tpu.selfplay.plackett_luce import (
             GameResult,
             compute_ratings,
@@ -360,9 +368,10 @@ def run_stats_mode(
 
         logits_all = all_source_logits(obs_raw, mask)  # [S, E, A]
         acting_source = perm_table[c.perm_idx, players]  # [E]
-        logits = jnp.take_along_axis(
-            logits_all, acting_source[None, :, None], axis=0
-        )[0]
+        # One-hot contraction, not take_along_axis (repo gather rule:
+        # TPU per-index gather cost; see ops/categorical.py:51-55).
+        src_oh = jax.nn.one_hot(acting_source, S, dtype=logits_all.dtype)
+        logits = jnp.einsum("sea,es->ea", logits_all, src_oh)
         masked = apply_action_mask(logits, mask)
         temps = temp.get_temp(c.move_count)
         actions = sample_with_temperature(k_sample, masked, temps)

@@ -157,3 +157,77 @@ def all_hosts_mean(value: float) -> float:
 
     arr = multihost_utils.process_allgather(np.asarray([value]))
     return float(np.mean(arr))
+
+
+def host_global_offset(x: jax.Array, axis: int = 0) -> int:
+    """Global start index (along ``axis``) of this process's shard block.
+
+    Companion to ``host_local_slice``: a [T, E]-sharded episode log's
+    local block covers global env columns [offset, offset + local_E);
+    host bookkeeping that splits envs at a GLOBAL boundary (e.g. the
+    learner/pool env split) must subtract this offset first."""
+    if jax.process_count() == 1:
+        return 0
+    starts = []
+    for s in x.addressable_shards:
+        if not s.index or axis >= len(s.index):
+            starts.append(0)
+        else:
+            starts.append(s.index[axis].start or 0)
+    return int(min(starts)) if starts else 0
+
+
+def broadcast_from_primary(values: np.ndarray) -> np.ndarray:
+    """Broadcast a small host array from process 0 to every process.
+
+    Used for loop-control decisions that must not diverge across hosts
+    (time-budget stop, fused-window size): host-local wall clocks differ,
+    so each host deciding independently would enqueue different jitted
+    collective programs and hang the pod."""
+    if jax.process_count() == 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.broadcast_one_to_all(np.asarray(values)))
+
+
+def allgather_rows(rows: np.ndarray, width: int) -> np.ndarray:
+    """Concatenate variable-count, fixed-width host-local int rows from
+    every process, in process order (identical result on all hosts).
+
+    The transport pads each host's block to the global max count (shapes
+    must match for the allgather) and strips the padding after. Used to
+    globalize completed pool-game records so every host folds the SAME
+    win-rate updates and the deterministic rotation sampling stays in
+    lockstep (the multi-host analog of opponent_pool.rs:578-653's
+    single-process queue)."""
+    rows = np.asarray(rows, dtype=np.int32).reshape(-1, width)
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        np.asarray([rows.shape[0]], np.int32)
+    ).reshape(-1)
+    maxn = int(counts.max())
+    if maxn == 0:
+        return np.zeros((0, width), np.int32)
+    padded = np.zeros((maxn, width), np.int32)
+    padded[: rows.shape[0]] = rows
+    gathered = np.asarray(
+        multihost_utils.process_allgather(padded)
+    ).reshape(len(counts), maxn, width)
+    return np.concatenate(
+        [gathered[p, : int(counts[p])] for p in range(len(counts))], axis=0
+    )
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process). Placed after
+    host-0 checkpoint writes so other hosts never read a half-written
+    checkpoint from shared storage at the next pool rotation."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

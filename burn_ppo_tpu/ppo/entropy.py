@@ -50,11 +50,3 @@ class AdaptiveEntropyController:
                 self.max_coef, max(self.min_coef, self.current_coef + self.delta * sign)
             )
         return self.current_coef, target
-
-    # -- checkpoint state -------------------------------------------------
-    def state_dict(self) -> dict:
-        return {"current_coef": self.current_coef, "last_entropy": self.last_entropy}
-
-    def load_state_dict(self, d: dict) -> None:
-        self.current_coef = d.get("current_coef", self.current_coef)
-        self.last_entropy = d.get("last_entropy")

@@ -80,6 +80,11 @@ class WindowedEpisodeTracker:
         self._seed_avg = float(avg_return)
         self._seed_count = int(count)
 
+    @property
+    def seed_count(self) -> int:
+        """Episodes represented by the resume seed (no real data yet)."""
+        return self._seed_count
+
     def ingest(self, stats: Dict[str, np.ndarray]) -> None:
         s = {k: np.asarray(v) for k, v in stats.items()}
         cnt = float(s["count"])

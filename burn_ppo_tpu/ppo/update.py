@@ -328,6 +328,14 @@ def ppo_update(
 
     R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)
     num_blocks = (nmb * mb_size) // R
+    if N % nmb != 0:
+        # The reference drops a RANDOM remainder each epoch
+        # (ppo.rs:1811-1831's uneven split); a fixed prefix would exclude
+        # the same tail samples forever. Rotate by a fresh random offset
+        # per update so the excluded N % nmb samples vary.
+        key, k_roll = jax.random.split(key)
+        shift = jax.random.randint(k_roll, (), 0, N)
+        packed = jnp.roll(packed, shift, axis=0)
     packed_tiled = packed[: nmb * mb_size].reshape(num_blocks, R * C)
 
     epoch_keys = jax.random.split(key, cfg.num_epochs)

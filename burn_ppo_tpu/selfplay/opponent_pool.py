@@ -70,7 +70,12 @@ class OpponentPool:
         max_active: int = 8,
         cache_size: int = 32,
         seed: int = 0,
+        persist: bool = True,
     ):
+        # ``persist=False`` for non-primary hosts in multi-host runs: they
+        # maintain the SAME stats in lockstep (via globally-synced game
+        # records) but only host 0 writes opponent_stats.json.
+        self._persist = persist
         self.run_dir = Path(run_dir)
         self.ckpt_dir = self.run_dir / "checkpoints"
         self.stats_path = self.run_dir / "opponent_stats.json"
@@ -201,6 +206,43 @@ class OpponentPool:
             if len(self._recent_vs[name]) > 200:
                 self._recent_vs[name] = self._recent_vs[name][-200:]
 
+    def queue_game_results_batch(
+        self,
+        active_names: Sequence[str],
+        learner_places: np.ndarray,  # [n]
+        opp_slots: np.ndarray,  # [n, P-1] rotation slot per opponent seat
+        opp_places: np.ndarray,  # [n, P-1]
+    ) -> None:
+        """Vectorized ``queue_game_result`` over n completed games.
+
+        Scores are computed with one numpy comparison and folded per
+        rotation slot (K <= max_active iterations), replacing a Python
+        loop over every completed episode — the reference batches this
+        once per rotation too (opponent_pool.rs:628-653). Slot entries
+        outside [0, K) are ignored (stale slots after a rotation shrink).
+        """
+        learner_places = np.asarray(learner_places).reshape(-1)
+        opp_slots = np.asarray(opp_slots).reshape(len(learner_places), -1)
+        opp_places = np.asarray(opp_places).reshape(len(learner_places), -1)
+        lp = learner_places[:, None]
+        # Opponent's perspective: 1 = beat learner, 0.5 = tie, 0 = lost.
+        score = np.where(
+            opp_places < lp, 1.0, np.where(opp_places == lp, 0.5, 0.0)
+        )
+        K = len(active_names)
+        valid = (opp_slots >= 0) & (opp_slots < K)
+        for k, name in enumerate(active_names):
+            m = valid & (opp_slots == k)
+            n = int(m.sum())
+            if n == 0:
+                continue
+            acc, n0 = self._pending.get(name, (0.0, 0))
+            self._pending[name] = (acc + float(score[m].sum()), n0 + n)
+            lst = self._recent_vs.setdefault(name, [])
+            lst.extend((1.0 - score[m]).tolist())
+            if len(lst) > 200:
+                self._recent_vs[name] = lst[-200:]
+
     def apply_pending_updates(self) -> None:
         """EMA-fold queued results once per rotation (628-653)."""
         for name, (acc, n) in self._pending.items():
@@ -228,6 +270,8 @@ class OpponentPool:
 
     # ------------------------------------------------------------------
     def save_stats(self) -> None:
+        if not self._persist:
+            return
         tmp = self.stats_path.with_suffix(".json.tmp")
         tmp.write_text(
             json.dumps(

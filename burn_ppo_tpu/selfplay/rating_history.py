@@ -112,6 +112,32 @@ class RatingHistory:
         with open(self.games_path, "a") as f:
             f.write(json.dumps(game) + "\n")
 
+    def record_games_batch(
+        self, current: str, games: Sequence[tuple]
+    ) -> None:
+        """Append many vs-pool games with ONE file write.
+
+        ``games``: [(opponent_names, placements), ...] with placements =
+        [current, *opponents]. Per-update batching keeps the pool path's
+        host bookkeeping off the per-episode critical path."""
+        if not games:
+            return
+        lines = []
+        self._register(current, 0)
+        for opponents, placements in games:
+            for o in opponents:
+                self._register(o, 0)
+            game = {
+                "current": current,
+                "opponents": list(opponents),
+                "placements": [int(p) for p in placements],
+            }
+            self.games.append(game)
+            lines.append(json.dumps(game))
+        self._cached_ratings = None
+        with open(self.games_path, "a") as f:
+            f.write("\n".join(lines) + "\n")
+
     def on_checkpoint_saved(self, checkpoint_name: str, step: int) -> None:
         idx = self._register(checkpoint_name, step)
         if self.first_checkpoint_idx is None:

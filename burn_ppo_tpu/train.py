@@ -178,13 +178,43 @@ def _apply_update(network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_co
     return new_state, metrics
 
 
+def _guard_counts(batch) -> Dict[str, jax.Array]:
+    """Runtime-guard reductions over the collected rollout.
+
+    The reference PANICS on an empty action mask (utils.rs:115-135) and
+    asserts finite log-probs/values every step (ppo.rs:363-366, 754-757).
+    Inside jit a broken env would instead silently sample garbage (an
+    all-masked row still yields finite uniform log-probs), so the fused
+    step counts violations on device — two fused reductions, free — and
+    the host loop raises/warns when they are nonzero.
+    """
+    guards: Dict[str, jax.Array] = {}
+    if batch.action_masks is not None:
+        guards["invalid_mask_count"] = jnp.sum(
+            (jnp.sum(batch.action_masks, axis=-1) == 0.0).astype(jnp.float32)
+        )
+    nonfinite = jnp.sum(
+        (~jnp.isfinite(batch.log_probs)).astype(jnp.float32)
+    ) + jnp.sum((~jnp.isfinite(batch.values)).astype(jnp.float32))
+    guards["nonfinite_count"] = nonfinite
+    return guards
+
+
+# Metric keys that accumulate (sum) across a fused window rather than
+# reporting the last update's value.
+GUARD_METRIC_KEYS = ("invalid_mask_count", "nonfinite_count")
+
+
 def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
     """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
     flatten, PPO update. Returns (new_state, metrics)."""
     obs_norm_new, data = _prepare_update(network, env, cfg, state, carry, batch)
-    return _apply_update(
+    new_state, metrics = _apply_update(
         network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef
     )
+    if cfg.runtime_guards != "off":
+        metrics.update(_guard_counts(batch))
+    return new_state, metrics
 
 
 def make_train_step(
@@ -251,6 +281,11 @@ def make_train_window(
             body, state, (lrs, ent_coefs, shaping_coefs)
         )
         metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
+        # Guard counters must not miss violations in non-final window
+        # updates: report the SUM over the window.
+        for gk in GUARD_METRIC_KEYS:
+            if gk in metrics_all:
+                metrics[gk] = jnp.sum(metrics_all[gk])
         stats = {
             "count": jnp.sum(stats_all["count"]),
             "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
@@ -269,11 +304,18 @@ def make_pool_train_step(
     network: ActorCriticNetwork, env: Environment, cfg: Config, tx,
     num_learner_envs: int, num_slots: int,
 ):
-    """Vs-pool variant: K stacked opponents act on the pool-env block."""
+    """Vs-pool variant: K stacked opponents act on the pool-env block.
+
+    Host traffic is trimmed on device: the self-play (learner) env
+    block's episode stats reduce to window scalars (episode_stats.py),
+    and only the pool-env columns of the episode/seating logs — the part
+    the win-rate/rating bookkeeping actually reads — are returned."""
     has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
     def train_step(state: TrainState, seating: PoolSeating, opp_params,
                    opp_obs_norm, lr, ent_coef, shaping_coef):
+        from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
+
         ctx = {"shaping_coef": shaping_coef} if has_shaping else None
         carry, seat_out, batch, pool_logs = collect_rollouts_with_opponents(
             network, env, state.params, opp_params, opp_obs_norm,
@@ -286,7 +328,16 @@ def make_pool_train_step(
         new_state, metrics = _finish_step(
             network, env, cfg, tx, state, carry, batch, lr, ent_coef
         )
-        return new_state, seat_out, metrics, pool_logs
+        learner_stats = summarize_episode_logs(
+            jax.tree_util.tree_map(
+                lambda x: x[:, :num_learner_envs], pool_logs.episode
+            ),
+            env.spec.num_players,
+        )
+        pool_slice = jax.tree_util.tree_map(
+            lambda x: x[:, num_learner_envs:], pool_logs
+        )
+        return new_state, seat_out, metrics, learner_stats, pool_slice
 
     return train_step
 
@@ -396,6 +447,7 @@ class Trainer:
         profile_start: int = 1,
         profile_updates: int = 2,
         profile_phases: bool = False,
+        debug_checkify: bool = False,
     ):
         # Supervisor-mode knobs (reference supervisor.rs / main.rs:1700-1784):
         # exit after N checkpoint saves so a parent can respawn; carry the
@@ -463,14 +515,40 @@ class Trainer:
             ),
         )
 
-        self._train_step = jax.jit(
-            make_train_step(
-                self.network, self.env, cfg, self.tx,
-                compact_stats=cfg.opponent_pool_fraction <= 0.0
-                or self.num_players == 1,
-            ),
-            donate_argnums=(0,),
+        # Make the epoch-shuffle granularity visible once per run: tiled
+        # shuffling (block > 1) is a deliberate semantic switch at TPU
+        # batch sizes (see PPOUpdateConfig.shuffle_block_rows).
+        from burn_ppo_tpu.ppo.update import resolve_shuffle_block
+
+        _n = cfg.num_steps * self.num_envs
+        _block = resolve_shuffle_block(
+            _n, max(_n // cfg.num_minibatches, 1), cfg.shuffle_block_rows
         )
+        if _block > 1 and not self.quiet:
+            print(
+                f"epoch shuffle: tiled, {_block} rows/tile "
+                f"({_n} samples/update; set shuffle_block_rows = 1 for "
+                "exact per-sample shuffling)"
+            )
+
+        _raw_step = make_train_step(
+            self.network, self.env, cfg, self.tx,
+            compact_stats=cfg.opponent_pool_fraction <= 0.0
+            or self.num_players == 1,
+        )
+        # Checkify debug mode: functionalized NaN/div checks through the
+        # whole fused step — the debug analog of the reference's runtime
+        # asserts (ppo.rs:363-366). ~2x slower, so opt-in (--checkify).
+        self.debug_checkify = debug_checkify
+        if debug_checkify:
+            from jax.experimental import checkify as _checkify
+
+            # No donation: on error the pre-step state must stay alive.
+            self._train_step = jax.jit(
+                _checkify.checkify(_raw_step, errors=_checkify.float_checks)
+            )
+        else:
+            self._train_step = jax.jit(_raw_step, donate_argnums=(0,))
 
         # Fused multi-update windows (device-side K-step scan between
         # logging boundaries). Off when: pool active (host bookkeeping per
@@ -478,8 +556,12 @@ class Trainer:
         # phase profiling, or trace capture (per-update spans).
         self._windows: Dict[int, Any] = {}
         self.use_windows = (
-            cfg.opponent_pool_fraction <= 0.0 or self.num_players == 1
-        ) and cfg.adaptive_entropy is None and not profile_phases and profile_dir is None
+            (cfg.opponent_pool_fraction <= 0.0 or self.num_players == 1)
+            and cfg.adaptive_entropy is None
+            and not profile_phases
+            and profile_dir is None
+            and not debug_checkify
+        )
 
         # ---- profiling (reference src/profile.rs; perf/* main.rs:1092) --
         self.trace_capture = None
@@ -520,6 +602,13 @@ class Trainer:
             self._phase_rollout = jax.jit(rollout_fn)
             self._phase_gae = jax.jit(gae_fn)
             self._phase_update = jax.jit(update_fn)
+            from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
+
+            # Jitted ONCE: a per-update jit(lambda) would re-trace every
+            # iteration, polluting the very phase timings this mode reports.
+            self._phase_summarize = jax.jit(
+                lambda lg: summarize_episode_logs(lg, self.num_players)
+            )
 
         # ---- opponent-pool stack (multiplayer only, main.rs:564-654) ----
         self.pool: Optional[Any] = None
@@ -646,7 +735,14 @@ class Trainer:
             ),
             recent_returns=[
                 float(r) for r in getattr(self.tracker, "recent_returns", [])
-            ] or [self.tracker.avg_return] * min(100, int(self.tracker.window_count)),
+            ] or [self.tracker.avg_return] * min(
+                # A supervisor child may checkpoint before any episode
+                # completes; fall back to the resume seed's count so the
+                # seeded average survives the next resume.
+                100,
+                int(self.tracker.window_count)
+                or getattr(self.tracker, "seed_count", 0),
+            ),
             forked_from=self.forked_from,
             rng_seed=self.seed,
             normalize_obs=self.cfg.normalize_obs,
@@ -793,11 +889,7 @@ class Trainer:
         self.state = new_state
         if self.pool is None:
             # Windowed tracker consumes device summaries, not raw logs.
-            from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
-
-            stats = jax.jit(
-                lambda lg: summarize_episode_logs(lg, self.num_players)
-            )(logs)
+            stats = self._phase_summarize(logs)
             self.tracker.ingest(jax.device_get(stats))
         else:
             self.tracker.ingest(self._fetch_logs(logs))
@@ -947,17 +1039,25 @@ class Trainer:
                     lr = float(lrs[-1])
                     ent_coef = float(ecs[-1])
                 else:
-                    self.state, metrics, logs = self._train_step(
+                    step_args = (
                         self.state,
                         jnp.asarray(lr, jnp.float32),
                         jnp.asarray(ent_coef, jnp.float32),
                         jnp.asarray(shaping, jnp.float32),
                     )
+                    if self.debug_checkify:
+                        err, (self.state, metrics, logs) = self._train_step(
+                            *step_args
+                        )
+                        err.throw()
+                    else:
+                        self.state, metrics, logs = self._train_step(*step_args)
                     if isinstance(logs, dict):  # compact device summaries
                         self.tracker.ingest(jax.device_get(logs))
                     else:
                         self.tracker.ingest(self._fetch_logs(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
+                self._enforce_guards(metrics)
                 step_time = time.time() - t0
                 self._per_update_time = step_time / max(updates_done, 1)
                 if self.trace_capture is not None:
@@ -1015,6 +1115,41 @@ class Trainer:
         return summary
 
     # ------------------------------------------------------------------
+    def _enforce_guards(self, metrics: Dict[str, float]) -> None:
+        """Surface device-side guard violations within one update.
+
+        The reference fails fast (empty-mask panic utils.rs:115-135;
+        finite asserts ppo.rs:363-366); ``runtime_guards = "warn"`` keeps
+        training but prints loudly."""
+        if self.cfg.runtime_guards == "off":
+            return
+        problems = []
+        if metrics.get("invalid_mask_count", 0.0) > 0:
+            problems.append(
+                f"{int(metrics['invalid_mask_count'])} rollout step(s) had "
+                "an EMPTY action mask (no legal action) — the env is "
+                "producing invalid states and sampled actions are garbage"
+            )
+        if metrics.get("nonfinite_count", 0.0) > 0:
+            problems.append(
+                f"{int(metrics['nonfinite_count'])} non-finite "
+                "log-prob/value output(s) — NaN/Inf in the forward pass"
+            )
+        if not problems:
+            return
+        msg = (
+            f"runtime guard tripped at step {self.global_step}:\n  "
+            + "\n  ".join(problems)
+        )
+        if self.cfg.runtime_guards == "raise":
+            raise RuntimeError(
+                msg + "\n(set runtime_guards = 'warn' to continue anyway)"
+            )
+        import sys
+
+        print(f"WARNING: {msg}", file=sys.stderr)
+
+    # ------------------------------------------------------------------
     def _fetch_logs(self, logs):
         """Episode logs to host: this process's env block only ([T, E, ...]
         leaves shard on axis 1), so multi-host logging never crosses DCN."""
@@ -1055,6 +1190,9 @@ class Trainer:
         if "value_norm/mean" in m:
             log("value_norm/mean", m["value_norm/mean"], step)
             log("value_norm/std", m["value_norm/std"], step)
+        for gk in GUARD_METRIC_KEYS:
+            if gk in m:
+                log(f"train/{gk}", m[gk], step)
         log("perf/sps", sps, step)
         for name, value in self._phase_times.items():
             log(name, value, step)

@@ -56,7 +56,44 @@ def test_player_count_uniform_random():
         {"mode": "uniform_random", "min_players": 2, "max_players": 5}
     )
     assert pc.mode == "uniform_random"
-    assert pc.get_fixed_count() == 5  # buffers sized for max
+    assert pc.get_fixed_count() == 2  # reference: UniformRandom -> min
+
+
+def test_get_fixed_count_reference_parity():
+    # Reference config.rs:675-681:
+    #   Fixed { count } => count
+    #   UniformRandom { min, .. } | Curriculum { min, .. } => min
+    #   WeightedRandom { .. } => 4
+    assert PlayerCountMode.parse(6).get_fixed_count() == 6
+    assert (
+        PlayerCountMode.parse(
+            {"type": "UniformRandom", "min": 3, "max": 6}
+        ).get_fixed_count()
+        == 3
+    )
+    assert (
+        PlayerCountMode.parse(
+            {"type": "Curriculum", "min": 2, "max": 6, "warmup_steps": 1000}
+        ).get_fixed_count()
+        == 2
+    )
+    assert (
+        PlayerCountMode.parse(
+            {"type": "WeightedRandom", "weights": [0.2] * 5}
+        ).get_fixed_count()
+        == 4
+    )
+
+
+def test_curriculum_warmup_steps_roundtrip():
+    pc = PlayerCountMode.parse(
+        {"mode": "curriculum", "min_players": 2, "max_players": 6,
+         "warmup_steps": 50_000}
+    )
+    assert pc.warmup_steps == 50_000
+    t = pc.to_toml_value()
+    assert t["warmup_steps"] == 50_000 and t["min_players"] == 2
+    assert PlayerCountMode.parse(t) == pc
 
 
 def test_player_count_reference_toml_spelling():
