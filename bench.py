@@ -1,16 +1,30 @@
 """Headline benchmark: PPO training throughput (env steps/sec).
 
-Runs the full fused train step (on-device rollout + GAE + PPO update) on
-the reference's CartPole config shape (configs/cartpole.toml: 32 envs x
-128 steps, hidden 64x2) scaled up to the TPU throughput sweet spot
-(4096 envs: larger batches leave on-chip memory and lose ~40%), and
-reports env-steps/second.
+Two measurements, both full fused train steps (on-device rollout + GAE +
+PPO update) run as ONE jitted `lax.scan` so host dispatch/transport stays
+out of the device-throughput number:
+
+  1. cartpole — the reference's CartPole config shape
+     (configs/cartpole.toml: 32 envs x 128 steps, hidden 64x2) scaled to
+     the TPU throughput sweet spot (4096 envs; larger batches leave
+     on-chip memory and lose ~40%). This is the headline metric.
+  2. selfplay_pool — Connect Four, hidden 512, K=8 stacked opponents,
+     25% pool envs: the path that dominates flagship (skull/liars-dice)
+     training. Guards the stacked-opponent einsum + reseat machinery
+     against perf regressions (VERDICT r1 item 4).
+
+MFU context (VERDICT r1 item 9): achieved model FLOP/s = analytic
+model FLOPs/env-step x measured steps/s, reported as a fraction of the
+chip's peak (BENCH_PEAK_TFLOPS, default 197 = TPU v5e bf16). Tiny MLPs
+are HBM-bound, so single-digit MFU is expected — the number contextual-
+izes "fast" against the chip rather than only against last round.
 
 The reference publishes no SPS numbers (BASELINE.json: published = {});
 ``vs_baseline`` therefore compares against the most recent recorded
-BENCH_r*.json in the repo, or 1.0 on the first round.
+BENCH_r*.json in the repo (per metric when available), or 1.0 on the
+first round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -18,28 +32,33 @@ from __future__ import annotations
 import glob
 import json
 import os
-import re
 import sys
 import time
 
 
-def previous_bench_value() -> float | None:
+def previous_bench() -> dict | None:
     best = None
     for path in sorted(glob.glob("BENCH_r*.json")):
         try:
             data = json.loads(open(path).read())
-            v = float(data.get("value", 0.0))
-            if v > 0:
-                best = v  # latest round wins (sorted order)
+            # The driver wraps the printed line under "parsed".
+            data = data.get("parsed", data)
+            if float(data.get("value", 0.0)) > 0:
+                best = data  # latest round wins (sorted order)
         except Exception:
             continue
     return best
 
 
-def main() -> int:
-    import jax
-    import jax.numpy as jnp
+def dense_fwd_flops(sizes) -> int:
+    """2 * sum(in*out + out) over a dense stack."""
+    total = 0
+    for i, o in sizes:
+        total += 2 * (i * o + o)
+    return total
 
+
+def bench_cartpole(jax, jnp):
     from burn_ppo_tpu.config import Config
     from burn_ppo_tpu.envs import make_env
     from burn_ppo_tpu.parallel.mesh import make_mesh, replicate, shard_rollout_carry
@@ -84,23 +103,21 @@ def main() -> int:
         popart=None,
         update_key=k_update,
     )
-    train_step = make_train_step(network, env, cfg, tx)
+    train_step = make_train_step(network, env, cfg, tx, compact_stats=True)
 
     lr = jnp.asarray(1e-3, jnp.float32)
     ec = jnp.asarray(0.01, jnp.float32)
     sc = jnp.asarray(0.0, jnp.float32)
 
-    # Run all iterations on-device in ONE jitted lax.scan: production TPU
-    # training amortizes host round-trips over the logging window the same
-    # way, and it keeps transport latency out of the device-throughput
-    # measurement.  Episode logs are folded into a live checksum so XLA
-    # can't dead-code-eliminate the bookkeeping the real Trainer consumes.
+    # Episode summaries fold into a live checksum so XLA can't dead-code-
+    # eliminate the bookkeeping the real Trainer consumes.
     def run_iters(state, n):
         def body(carry, _):
             s, acc = carry
-            s2, metrics, logs = train_step(s, lr, ec, sc)
-            acc = acc + jnp.sum(logs.completed) + metrics["policy_loss"]
+            s2, metrics, stats = train_step(s, lr, ec, sc)
+            acc = acc + stats["count"] + metrics["policy_loss"]
             return (s2, acc), None
+
         (s_final, acc), _ = jax.lax.scan(
             body, (state, jnp.zeros((), jnp.float32)), None, length=n
         )
@@ -109,8 +126,7 @@ def main() -> int:
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
 
-    # Warmup / compile both programs.
-    float(run1(state))
+    float(run1(state))  # warmup / compile
     float(runN(state))
 
     t0 = time.perf_counter()
@@ -122,17 +138,163 @@ def main() -> int:
     # (dt_n - dt_1) / (iters - 1) cancels the constant dispatch+transport
     # floor, leaving steady-state per-iteration time.
     per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
-
     sps = num_envs * num_steps / per_iter
-    prev = previous_bench_value()
-    vs = sps / prev if prev else 1.0
+
+    # Analytic model FLOPs per env step: rollout forward (1x) + update
+    # epochs x (fwd + ~2x fwd for bwd) over the same samples.
+    h, d, a = cfg.hidden_size, env.spec.obs_dim, env.spec.num_actions
+    fwd = dense_fwd_flops([(d, h), (h, h), (h, a), (h, 1)])
+    flops_per_step = fwd * (1 + 3 * cfg.num_epochs)
+    return sps, sps * flops_per_step
+
+
+def bench_selfplay_pool(jax, jnp):
+    from burn_ppo_tpu.config import Config
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.parallel.mesh import make_mesh, replicate, shard_rollout_carry
+    from burn_ppo_tpu.ppo.pool_rollout import PoolSeating
+    from burn_ppo_tpu.ppo.rollout import init_rollout_carry
+    from burn_ppo_tpu.ppo.update import PPOUpdateConfig, make_optimizer
+    from burn_ppo_tpu.train import (
+        TrainState,
+        build_network_for_env,
+        make_pool_train_step,
+    )
+
+    E = int(os.environ.get("BENCH_SP_NUM_ENVS", "4096"))
+    T = int(os.environ.get("BENCH_SP_NUM_STEPS", "64"))
+    K = int(os.environ.get("BENCH_SP_OPPONENTS", "8"))
+    iters = int(os.environ.get("BENCH_SP_ITERS", "20"))
+
+    cfg = Config(
+        env="connect_four", num_envs=E, num_steps=T, total_steps=10**9,
+        hidden_size=512, num_hidden=2, num_minibatches=4, num_epochs=4,
+        seed=0, clip_epsilon=0.1, opponent_pool_fraction=0.25,
+    )
+    mesh = make_mesh()
+    env = make_env(cfg.env)
+    net = build_network_for_env(env, cfg)
+    tx = make_optimizer(
+        PPOUpdateConfig(max_grad_norm=0.5, adam_epsilon=1e-5)
+    )
+    k = jax.random.split(jax.random.PRNGKey(0), 5)
+    params = replicate(net.init(k[0]), mesh)
+    opt = replicate(tx.init(jax.device_get(params)), mesh)
+    carry = shard_rollout_carry(init_rollout_carry(env, E, k[1]), mesh)
+    st = TrainState(
+        params=params, opt_state=opt, carry=carry,
+        obs_norm=None, popart=None, update_key=k[2],
+    )
+    L = E - E // 4
+    seating = PoolSeating.create(E, L, 2, num_slots=K, key=k[3])
+    opp = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * K), jax.device_get(params)
+    )
+    opp = replicate(opp, mesh)
+    step = make_pool_train_step(net, env, cfg, tx, L, K)
+
+    def run_iters(st, seating, n):
+        def body(c, _):
+            s, seat, acc = c
+            s2, seat2, m, stats, _pool = step(
+                s, seat, opp, None,
+                jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0),
+            )
+            return (s2, seat2, acc + m["policy_loss"] + stats["count"]), None
+
+        (sf, seatf, acc), _ = jax.lax.scan(
+            body, (st, seating, jnp.zeros(())), None, length=n
+        )
+        return acc
+
+    run1 = jax.jit(lambda s, seat: run_iters(s, seat, 1))
+    runN = jax.jit(lambda s, seat: run_iters(s, seat, iters))
+    float(run1(st, seating))
+    float(runN(st, seating))
+    t0 = time.perf_counter()
+    float(runN(st, seating))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run1(st, seating))
+    dt_1 = time.perf_counter() - t0
+    per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+    sps = E * T / per_iter
+
+    # Same config WITHOUT the pool — records the full vs-pool overhead
+    # (stacked-opponent forwards + reseat machinery) as a ratio.
+    from burn_ppo_tpu.train import make_train_step
+
+    step_np = make_train_step(net, env, cfg, tx, compact_stats=True)
+
+    def run_iters_np(st, n):
+        def body(c, _):
+            s, acc = c
+            s2, m, stats = step_np(
+                s, jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0)
+            )
+            return (s2, acc + m["policy_loss"] + stats["count"]), None
+
+        (sf, acc), _ = jax.lax.scan(
+            body, (st, jnp.zeros(())), None, length=n
+        )
+        return acc
+
+    run1_np = jax.jit(lambda s: run_iters_np(s, 1))
+    runN_np = jax.jit(lambda s: run_iters_np(s, iters))
+    float(run1_np(st))
+    float(runN_np(st))
+    t0 = time.perf_counter()
+    float(runN_np(st))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run1_np(st))
+    dt_1 = time.perf_counter() - t0
+    per_iter_np = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+    nopool_sps = E * T / per_iter_np
+
+    # Learner fwd on all envs + K opponent fwds on the pool 25% + update.
+    h, d, a = cfg.hidden_size, env.spec.obs_dim, env.spec.num_actions
+    fwd = dense_fwd_flops([(d, h), (h, h), (h, a), (h, 1)])
+    flops_per_step = fwd * (1 + 0.25 * K + 3 * cfg.num_epochs)
+    return sps, sps * flops_per_step, nopool_sps
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+    sps, flops = bench_cartpole(jax, jnp)
+    sp_sps, sp_flops, sp_nopool_sps = bench_selfplay_pool(jax, jnp)
+
+    prev = previous_bench()
+    prev_main = float(prev["value"]) if prev else 0.0
+    prev_sp = float((prev or {}).get("extra", {}).get("selfplay_pool_sps", 0.0))
+
+    extra = {
+        "selfplay_pool_sps": round(sp_sps, 1),
+        "selfplay_pool_vs_baseline": (
+            round(sp_sps / prev_sp, 3) if prev_sp else 1.0
+        ),
+        "selfplay_nopool_sps": round(sp_nopool_sps, 1),
+        "pool_overhead_pct": round(
+            100.0 * (sp_nopool_sps / sp_sps - 1.0), 1
+        ),
+        "achieved_tflops": round(flops / 1e12, 3),
+        "mfu_pct": round(100.0 * flops / (peak_tflops * 1e12), 3),
+        "selfplay_achieved_tflops": round(sp_flops / 1e12, 3),
+        "selfplay_mfu_pct": round(100.0 * sp_flops / (peak_tflops * 1e12), 3),
+        "peak_tflops_assumed": peak_tflops,
+    }
     print(
         json.dumps(
             {
                 "metric": "cartpole_train_env_steps_per_sec",
                 "value": round(sps, 1),
                 "unit": "env_steps/s",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": round(sps / prev_main, 3) if prev_main else 1.0,
+                "extra": extra,
             }
         )
     )

@@ -11,11 +11,11 @@ Parity with the reference `eval` subcommand (src/eval.rs):
   * interactive human play in the terminal (eval.rs:947, human.rs).
 
 TPU design: the stats engine is a jitted `lax.scan` over fixed-size step
-chunks. All S distinct policies forward the FULL env batch each step and
-the acting seat's logits are gathered per env — heterogeneous
-architectures stay separate XLA computations while envs never partition
-dynamically (the reference groups envs per model on CPU instead,
-eval.rs:1685-1717).
+chunks; envs never partition dynamically (the reference groups envs per
+model on CPU instead, eval.rs:1685-1717). Duplicate sources collapse to
+unique models, and same-architecture models stack so each env contracts
+its acting model's parameters out of the stack — one batched forward
+total (see ``make_acting_logits_fn``).
 """
 
 from __future__ import annotations
@@ -297,6 +297,129 @@ def generate_permutations(n: int) -> np.ndarray:
     return np.array(list(itertools.permutations(range(n))), dtype=np.int32)
 
 
+def make_acting_logits_fn(env, sources: List[PlayerSource], num_envs: int):
+    """Build ``logits_fn(obs_raw [E,D], acting_source [E]) -> [E,A]``.
+
+    The reference partitions envs by acting model on CPU and forwards
+    each model only on its envs (eval.rs:1685-1717). The TPU equivalent
+    keeps static shapes and instead removes the waste in two layers:
+
+      1. **Dedup**: sources referencing the same loaded model (self-play
+         broadcast, tournament rematches) collapse to one unique model —
+         never forwarded twice (the load cache makes identity checks
+         exact, eval.rs:772-946's per-path dedup).
+      2. **Group**: when every unique model shares one architecture (the
+         overwhelmingly common case — a tournament pod of checkpoints
+         from the same game), their params stack on a leading axis and
+         each env CONTRACTS its acting model's parameters out of the
+         stack (one-hot einsum), then one batched per-env forward runs.
+         Cost: 1x forward + one param-gather — ~2x a single-source
+         forward's FLOPs instead of U-x full-batch forwards.
+
+    Heterogeneous architectures fall back to one full-batch forward per
+    unique model + one-hot selection (still deduped).
+    """
+    A = env.spec.num_actions
+    # src -> unique model index (-1 = random). Identity via the load
+    # cache: the same checkpoint path yields the same params object.
+    uniques: List[PlayerSource] = []
+    src_map: List[int] = []
+    for s in sources:
+        if s.kind == "random":
+            src_map.append(-1)
+            continue
+        for j, u in enumerate(uniques):
+            if (
+                u.params is s.params
+                and u.network == s.network
+                and u.obs_norm is s.obs_norm
+            ):
+                src_map.append(j)
+                break
+        else:
+            uniques.append(s)
+            src_map.append(len(uniques) - 1)
+
+    is_random = jnp.asarray([m < 0 for m in src_map])  # [S]
+    unique_idx = jnp.asarray([max(m, 0) for m in src_map], jnp.int32)  # [S]
+    U = len(uniques)
+
+    if U == 0:
+        return lambda obs_raw, acting_source: jnp.zeros((num_envs, A))
+
+    def norm_obs(u: PlayerSource, obs_raw):
+        return (
+            obs_norm_apply(u.obs_norm, obs_raw)
+            if u.obs_norm is not None
+            else obs_raw
+        )
+
+    if U == 1:
+        u0 = uniques[0]
+
+        def single(obs_raw, acting_source):
+            logits = u0.network.forward_actor(u0.params, norm_obs(u0, obs_raw))
+            rand_e = is_random[acting_source]
+            return jnp.where(rand_e[:, None], 0.0, logits)
+
+        return single
+
+    homogeneous = all(u.network == uniques[0].network for u in uniques) and (
+        all(u.obs_norm is None for u in uniques)
+        or all(u.obs_norm is not None for u in uniques)
+    )
+
+    if homogeneous:
+        net0 = uniques[0].network
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[u.params for u in uniques],
+        )
+        stacked_norm = None
+        if uniques[0].obs_norm is not None:
+            stacked_norm = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[u.obs_norm for u in uniques],
+            )
+
+        def grouped(obs_raw, acting_source):
+            au = unique_idx[acting_source]  # [E]
+            rand_e = is_random[acting_source]
+            uoh = jax.nn.one_hot(au, U, dtype=obs_raw.dtype)  # [E, U]
+            # Per-env parameter/normalizer contraction out of the stack.
+            params_e = jax.tree_util.tree_map(
+                lambda w: jnp.einsum("eu,u...->e...", uoh, w), stacked
+            )
+            obs = obs_raw
+            if stacked_norm is not None:
+                norm_e = jax.tree_util.tree_map(
+                    lambda w: jnp.einsum("eu,u...->e...", uoh, w), stacked_norm
+                )
+                obs = jax.vmap(obs_norm_apply)(norm_e, obs)
+            logits = jax.vmap(
+                lambda p, o: net0.forward_actor(p, o[None, :])[0]
+            )(params_e, obs)
+            return jnp.where(rand_e[:, None], 0.0, logits)
+
+        return grouped
+
+    def hetero(obs_raw, acting_source):
+        outs = [
+            u.network.forward_actor(u.params, norm_obs(u, obs_raw))
+            for u in uniques
+        ]
+        logits_all = jnp.stack(outs)  # [U, E, A]
+        au = unique_idx[acting_source]
+        rand_e = is_random[acting_source]
+        # One-hot contraction, not take_along_axis (repo gather rule:
+        # TPU per-index gather cost; see ops/categorical.py:51-55).
+        uoh = jax.nn.one_hot(au, U, dtype=logits_all.dtype)
+        logits = jnp.einsum("uea,eu->ea", logits_all, uoh)
+        return jnp.where(rand_e[:, None], 0.0, logits)
+
+    return hetero
+
+
 def run_stats_mode(
     env: Environment,
     sources: List[PlayerSource],
@@ -346,19 +469,7 @@ def run_stats_mode(
     v_mask = jax.vmap(env.action_mask)
     v_player = jax.vmap(env.current_player)
 
-    def all_source_logits(obs_raw, mask):
-        outs = []
-        for s in sources:
-            if s.kind == "random":
-                outs.append(jnp.zeros((num_envs, env.spec.num_actions)))
-            else:
-                obs = (
-                    obs_norm_apply(s.obs_norm, obs_raw)
-                    if s.obs_norm is not None
-                    else obs_raw
-                )
-                outs.append(s.network.forward_actor(s.params, obs))
-        return jnp.stack(outs)  # [S, E, A]
+    acting_logits = make_acting_logits_fn(env, sources, num_envs)
 
     def step_fn(c: _EvalCarry, _):
         k, k_sample, k_reset = jax.random.split(c.key, 3)
@@ -366,12 +477,8 @@ def run_stats_mode(
         mask = v_mask(c.env_states).astype(jnp.float32)
         players = v_player(c.env_states)
 
-        logits_all = all_source_logits(obs_raw, mask)  # [S, E, A]
         acting_source = perm_table[c.perm_idx, players]  # [E]
-        # One-hot contraction, not take_along_axis (repo gather rule:
-        # TPU per-index gather cost; see ops/categorical.py:51-55).
-        src_oh = jax.nn.one_hot(acting_source, S, dtype=logits_all.dtype)
-        logits = jnp.einsum("sea,es->ea", logits_all, src_oh)
+        logits = acting_logits(obs_raw, acting_source)  # [E, A]
         masked = apply_action_mask(logits, mask)
         temps = temp.get_temp(c.move_count)
         actions = sample_with_temperature(k_sample, masked, temps)

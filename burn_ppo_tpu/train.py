@@ -23,8 +23,6 @@ from __future__ import annotations
 import json
 import signal
 import time
-from collections import deque
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -59,7 +57,6 @@ from burn_ppo_tpu.ppo.rollout import (
     init_rollout_carry,
 )
 from burn_ppo_tpu.ppo.update import PPOUpdateConfig, make_optimizer, ppo_update
-from burn_ppo_tpu.utils import compute_avg_points
 
 
 class TrainState(struct.PyTreeNode):
@@ -342,92 +339,34 @@ def make_pool_train_step(
     return train_step
 
 
-@dataclass
-class EpisodeTracker:
-    """Host-side episode bookkeeping: last-100 windows for returns,
-    per-player returns, and game outcomes (main.rs:840-875)."""
+def extract_pool_records(pool_slice, num_players: int) -> np.ndarray:
+    """Completed pool-env episodes -> fixed-width record rows
+    [learner_place | opp_slot x (P-1) | opp_place x (P-1)], int32.
 
-    num_players: int
-
-    def __post_init__(self):
-        self.recent_returns = deque(maxlen=100)  # player-0 totals
-        self.recent_per_player = [deque(maxlen=100) for _ in range(self.num_players)]
-        self.recent_lengths = deque(maxlen=100)
-        self.recent_outcomes = deque(maxlen=100)  # placement vectors
-        self.total_episodes = 0
-
-    def ingest(self, logs, env_limit: Optional[int] = None) -> None:
-        """Fold completed episodes in; ``env_limit`` restricts to the
-        self-play env block (pool envs have shuffled seat semantics)."""
-        completed = np.asarray(logs.completed)  # [T, E]
-        totals = np.asarray(logs.total_rewards)  # [T, E, P]
-        lengths = np.asarray(logs.length)
-        outcomes = np.asarray(logs.outcome)
-        if env_limit is not None:
-            completed = completed[:, :env_limit]
-            totals = totals[:, :env_limit]
-            lengths = lengths[:, :env_limit]
-            outcomes = outcomes[:, :env_limit]
-        done = completed.reshape(-1)
-        if not done.any():
-            return
-        totals = totals.reshape(-1, self.num_players)[done]
-        lengths = lengths.reshape(-1)[done]
-        outcomes = outcomes.reshape(-1, self.num_players)[done]
-        for i in range(totals.shape[0]):
-            self.recent_returns.append(float(totals[i, 0]))
-            for p in range(self.num_players):
-                self.recent_per_player[p].append(float(totals[i, p]))
-            self.recent_lengths.append(int(lengths[i]))
-            if self.num_players > 1:
-                self.recent_outcomes.append(outcomes[i].tolist())
-        self.total_episodes += int(totals.shape[0])
-
-    @property
-    def avg_return(self) -> float:
-        return float(np.mean(self.recent_returns)) if self.recent_returns else 0.0
-
-    # -- interface shared with WindowedEpisodeTracker -------------------
-    @property
-    def has_data(self) -> bool:
-        return bool(self.recent_returns)
-
-    @property
-    def window_count(self) -> float:
-        return float(len(self.recent_returns))
-
-    @property
-    def return_max(self) -> float:
-        return float(np.max(self.recent_returns))
-
-    @property
-    def return_min(self) -> float:
-        return float(np.min(self.recent_returns))
-
-    @property
-    def mean_length(self) -> float:
-        return float(np.mean(self.recent_lengths)) if self.recent_lengths else 0.0
-
-    def per_player_returns(self) -> np.ndarray:
-        return np.array(
-            [
-                float(np.mean(d)) if d else 0.0
-                for d in self.recent_per_player
-            ]
-        )
-
-    def avg_points(self) -> np.ndarray:
-        if not self.recent_outcomes:
-            return np.zeros(self.num_players)
-        pts, _c, _d = compute_avg_points(self.recent_outcomes, self.num_players)
-        return np.asarray(pts)
-
-    @property
-    def draw_rate(self) -> float:
-        if not self.recent_outcomes:
-            return 0.0
-        _p, _c, d = compute_avg_points(self.recent_outcomes, self.num_players)
-        return d
+    Vectorized (no per-episode Python loop — reference batches once per
+    rotation, opponent_pool.rs:628-653); operates on one host's local
+    block of the pool-env columns only."""
+    P = num_players
+    width = 2 * P - 1
+    ep = pool_slice.episode
+    completed = np.asarray(ep.completed)  # [T, Ep_local]
+    seats = np.asarray(pool_slice.learner_seat)  # [T, Ep_local]
+    sel = completed & (seats >= 0)
+    if completed.size == 0 or not sel.any():
+        return np.zeros((0, width), np.int32)
+    outcomes = np.asarray(ep.outcome)  # [T, Ep_local, P]
+    slots = np.asarray(pool_slice.seat_opp)  # [T, Ep_local, P]
+    t_idx, e_idx = np.nonzero(sel)
+    place = outcomes[t_idx, e_idx]  # [n, P]
+    seat = seats[t_idx, e_idx]  # [n]
+    slot = slots[t_idx, e_idx]  # [n, P]
+    opp_mask = np.arange(P)[None, :] != seat[:, None]
+    opp_slots = slot[opp_mask].reshape(-1, P - 1)
+    opp_places = place[opp_mask].reshape(-1, P - 1)
+    learner_place = place[np.arange(len(seat)), seat]
+    return np.concatenate(
+        [learner_place[:, None], opp_slots, opp_places], axis=1
+    ).astype(np.int32)
 
 
 class Trainer:
@@ -478,7 +417,16 @@ class Trainer:
         self.network = build_network_for_env(self.env, cfg)
         self.tx = make_optimizer(_update_cfg(cfg))
 
+        self.multihost = jax.process_count() > 1
         self.seed = cfg.seed if cfg.seed is not None else int(time.time()) % (2**31)
+        if self.multihost:
+            # Every host must derive the SAME rng streams (params init,
+            # rotation sampling): a time-based seed would diverge.
+            from burn_ppo_tpu.parallel.distributed import broadcast_from_primary
+
+            self.seed = int(
+                broadcast_from_primary(np.asarray([self.seed], np.int64))[0]
+            )
         root_key = jax.random.PRNGKey(self.seed)
         k_params, k_carry, k_update, k_seat = jax.random.split(root_key, 4)
 
@@ -532,9 +480,7 @@ class Trainer:
             )
 
         _raw_step = make_train_step(
-            self.network, self.env, cfg, self.tx,
-            compact_stats=cfg.opponent_pool_fraction <= 0.0
-            or self.num_players == 1,
+            self.network, self.env, cfg, self.tx, compact_stats=True
         )
         # Checkify debug mode: functionalized NaN/div checks through the
         # whole fused step — the debug analog of the reference's runtime
@@ -617,14 +563,12 @@ class Trainer:
         self._pool_steps: Dict[int, Any] = {}  # K -> jitted step
         self.num_learner_envs = self.num_envs
         if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "opponent-pool self-play is single-host for now: pool "
-                    "stats and rotation sampling are host-local state and "
-                    "would silently diverge across processes. Run the pool "
-                    "on one host, or set opponent_pool_fraction = 0 for "
-                    "multi-host runs."
-                )
+            # Multi-host pool discipline: every host keeps an identical
+            # pool-stats replica driven by globally-synced game records
+            # (allgather_rows at each update) and a seed-locked sampling
+            # rng, so rotations stay in lockstep WITHOUT broadcasting
+            # checkpoint names; only host 0 persists stats/ratings/graphs.
+            # Requires the run dir on shared storage (standard for pods).
             from burn_ppo_tpu.selfplay.opponent_pool import OpponentPool
             from burn_ppo_tpu.selfplay.rating_history import RatingHistory
 
@@ -637,6 +581,7 @@ class Trainer:
                 select_exponent=cfg.opponent_select_exponent,
                 max_active=cfg.max_active_opponents,
                 seed=self.seed,
+                persist=self.is_primary,
             )
             self.rating_history = RatingHistory.load(self.run_dir)
             self.seating = PoolSeating.create(
@@ -650,22 +595,18 @@ class Trainer:
             if self.is_primary
             else MetricsLogger.null()
         )
-        if self.pool is None:
-            # Compact path: episode stats reduced on device
-            # (ppo/episode_stats.py); no per-episode host data.
-            from burn_ppo_tpu.ppo.episode_stats import WindowedEpisodeTracker
+        # Episode stats reduce on device for every path — pool mode
+        # summarizes the learner-env block inside the fused step — so no
+        # per-episode host data ever transfers (ppo/episode_stats.py).
+        from burn_ppo_tpu.ppo.episode_stats import WindowedEpisodeTracker
 
-            self.tracker = WindowedEpisodeTracker(self.num_players)
-            restored = getattr(self, "_restored_recent", [])
-            if restored:
-                # Display-only seed: keeps avg_return continuous across a
-                # resume without polluting length/points/draw series or
-                # re-counting episodes (supervisor restarts resume often).
-                self.tracker.seed(float(np.mean(restored)), len(restored))
-        else:
-            self.tracker = EpisodeTracker(self.num_players)
-            for r in getattr(self, "_restored_recent", []):
-                self.tracker.recent_returns.append(float(r))
+        self.tracker = WindowedEpisodeTracker(self.num_players)
+        restored = getattr(self, "_restored_recent", [])
+        if restored:
+            # Display-only seed: keeps avg_return continuous across a
+            # resume without polluting length/points/draw series or
+            # re-counting episodes (supervisor restarts resume often).
+            self.tracker.seed(float(np.mean(restored)), len(restored))
         self.adaptive_entropy = None
         if cfg.adaptive_entropy is not None:
             self.adaptive_entropy = AdaptiveEntropyController(
@@ -708,13 +649,33 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self) -> Optional[Path]:
+        # Env-sharded leaves (the return normalizer's per-env rolling
+        # returns) span processes; host 0 cannot fetch them directly. ALL
+        # hosts run one replicating identity-jit (a device all-gather)
+        # first — this must precede the primary-only early return or the
+        # collective deadlocks.
+        return_norm = self.state.carry.return_norm
+        if self.multihost:
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+            return_norm = jax.jit(lambda t: t, out_shardings=repl)(return_norm)
         if not self.is_primary:
-            return None  # host-0 owns checkpoint IO (multi-host runs)
+            # Host-0 owns checkpoint IO, but every host must register the
+            # new checkpoint in its pool-stats replica at the SAME update
+            # (a fresh entry changes selection weights): the name is
+            # deterministic (step_%08d), no broadcast needed. Reads of
+            # its params wait on the post-checkpoint barrier (train loop).
+            if self.pool is not None:
+                self.pool.add_checkpoint(
+                    self.ckpt.step_dir(self.global_step).name, self.global_step
+                )
+            return None
         state = self.state
         aux = {
             "obs_norm": state.obs_norm,
             "popart": state.popart,
-            "return_norm": state.carry.return_norm,
+            "return_norm": return_norm,
             "rng_state": {
                 "update_key": state.update_key,
                 "carry_key": state.carry.key,
@@ -831,38 +792,41 @@ class Trainer:
             )
         return self._pool_steps[num_slots]
 
-    def _process_pool_logs(self, pool_logs, active_names) -> None:
-        """Queue win-rate + rating games from completed pool-env episodes
-        (reference main.rs:756-825)."""
-        ep = pool_logs.episode
-        completed = np.asarray(ep.completed)  # [T, E]
-        outcomes = np.asarray(ep.outcome)  # [T, E, P]
-        seats = np.asarray(pool_logs.learner_seat)  # [T, E]
-        slots = np.asarray(pool_logs.seat_opp)  # [T, E, P]
-        L = self.num_learner_envs
+    def _extract_pool_records(self, pool_slice) -> np.ndarray:
+        return extract_pool_records(pool_slice, self.num_players)
+
+    def _apply_pool_records(self, rows: np.ndarray, active_names) -> None:
+        """Fold globally-identical game records into win-rate queues (all
+        hosts, keeps stats replicas in lockstep) and the rating history
+        (host 0 only — it owns rating_games.jsonl)."""
+        if rows.shape[0] == 0:
+            return
+        P = self.num_players
+        learner_place = rows[:, 0]
+        opp_slots = rows[:, 1:P]
+        opp_places = rows[:, P : 2 * P - 1]
+        self.pool.queue_game_results_batch(
+            active_names, learner_place, opp_slots, opp_places
+        )
         current = self.rating_history.current_checkpoint
-        for t, e in zip(*np.nonzero(completed)):
-            if e < L:
-                continue  # self-play env
-            seat = int(seats[t, e])
-            if seat < 0:
-                continue
-            placements = outcomes[t, e]
-            opp_names, opp_places = [], []
-            for s in range(self.num_players):
-                if s == seat:
-                    continue
-                slot = int(slots[t, e, s])
-                if slot < len(active_names):
-                    opp_names.append(active_names[slot])
-                    opp_places.append(int(placements[s]))
-            if not opp_names:
-                continue
-            self.pool.queue_game_result(opp_names, int(placements[seat]), opp_places)
-            if current is not None:
-                self.rating_history.record_game(
-                    current, opp_names, [int(placements[seat])] + opp_places
+        if not self.is_primary or current is None:
+            return
+        K = len(active_names)
+        games = []
+        for i in range(rows.shape[0]):
+            pairs = [
+                (active_names[s], int(p))
+                for s, p in zip(opp_slots[i], opp_places[i])
+                if 0 <= s < K
+            ]
+            if pairs:
+                games.append(
+                    (
+                        [n for n, _ in pairs],
+                        [int(learner_place[i])] + [p for _, p in pairs],
+                    )
                 )
+        self.rating_history.record_games_batch(current, games)
 
     # ------------------------------------------------------------------
     def _phase_timed_step(self, lr, ent_coef, shaping):
@@ -887,12 +851,9 @@ class Trainer:
         float(metrics["policy_loss"])
         t3 = time.time()
         self.state = new_state
-        if self.pool is None:
-            # Windowed tracker consumes device summaries, not raw logs.
-            stats = self._phase_summarize(logs)
-            self.tracker.ingest(jax.device_get(stats))
-        else:
-            self.tracker.ingest(self._fetch_logs(logs))
+        # Windowed tracker consumes device summaries, not raw logs.
+        stats = self._phase_summarize(logs)
+        self.tracker.ingest(jax.device_get(stats))
         total = max(t3 - t0, 1e-9)
         self._phase_times = {
             "perf/rollout_time": t1 - t0,
@@ -947,12 +908,25 @@ class Trainer:
                 update_idx += 1
                 if self.trace_capture is not None:
                     self.trace_capture.on_update_start(update_idx)
-                if interrupted["flag"]:
-                    break
-                if (
+                stop = interrupted["flag"] or (
                     max_seconds is not None
-                    and time.time() - start_time + self.elapsed_time_offset > max_seconds
-                ):
+                    and time.time() - start_time + self.elapsed_time_offset
+                    > max_seconds
+                )
+                if self.multihost:
+                    # Wall clocks (and Ctrl-C) are host-local; host 0's
+                    # decision governs so every process leaves the loop
+                    # at the same update (divergent exits hang the pod).
+                    from burn_ppo_tpu.parallel.distributed import (
+                        broadcast_from_primary,
+                    )
+
+                    stop = bool(
+                        broadcast_from_primary(
+                            np.asarray([1 if stop else 0], np.int32)
+                        )[0]
+                    )
+                if stop:
                     break
 
                 lr = cfg.learning_rate.get(self.global_step)
@@ -994,16 +968,27 @@ class Trainer:
                             seat_opp=self.seating.seat_opp % K
                         )
                     step_fn = self._get_pool_step(K)
-                    self.state, self.seating, metrics, pool_logs = step_fn(
+                    (
+                        self.state, self.seating, metrics, learner_stats,
+                        pool_slice,
+                    ) = step_fn(
                         self.state, self.seating, opp_params, opp_norm,
                         jnp.asarray(lr, jnp.float32),
                         jnp.asarray(ent_coef, jnp.float32),
                         jnp.asarray(shaping, jnp.float32),
                     )
-                    pool_logs = self._fetch_logs(pool_logs)
-                    self._process_pool_logs(pool_logs, active_names)
+                    # Local pool-game records -> global (identical on all
+                    # hosts) -> fold win rates everywhere, ratings on
+                    # host 0. Keeps rotation sampling in lockstep.
+                    from burn_ppo_tpu.parallel.distributed import allgather_rows
+
+                    rows = self._extract_pool_records(
+                        self._fetch_logs(pool_slice)
+                    )
+                    rows = allgather_rows(rows, 2 * self.num_players - 1)
+                    self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
-                    self.tracker.ingest(pool_logs.episode, env_limit=self.num_learner_envs)
+                    self.tracker.ingest(jax.device_get(learner_stats))
                 elif self.profile_phases:
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
                     updates_done = 1
@@ -1016,6 +1001,16 @@ class Trainer:
                     k = self._window_size(
                         next_log, next_ckpt, remaining, self._per_update_time
                     )
+                    if self.multihost:
+                        # k derives from host-local timing state; all
+                        # hosts must enqueue the same K-step program.
+                        from burn_ppo_tpu.parallel.distributed import (
+                            broadcast_from_primary,
+                        )
+
+                        k = int(
+                            broadcast_from_primary(np.asarray([k], np.int32))[0]
+                        )
                     offsets = [
                         self.global_step + i * steps_per_update for i in range(k)
                     ]
@@ -1052,10 +1047,7 @@ class Trainer:
                         err.throw()
                     else:
                         self.state, metrics, logs = self._train_step(*step_args)
-                    if isinstance(logs, dict):  # compact device summaries
-                        self.tracker.ingest(jax.device_get(logs))
-                    else:
-                        self.tracker.ingest(self._fetch_logs(logs))
+                    self.tracker.ingest(jax.device_get(logs))
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 self._enforce_guards(metrics)
                 step_time = time.time() - t0
@@ -1078,6 +1070,13 @@ class Trainer:
                 if self.global_step >= next_ckpt:
                     next_ckpt = self.global_step + cfg.checkpoint_freq
                     self.save_checkpoint()
+                    if self.multihost:
+                        # Don't let other hosts read the new checkpoint's
+                        # params (next rotation) before host 0 finishes
+                        # writing it to shared storage.
+                        from burn_ppo_tpu.parallel.distributed import barrier
+
+                        barrier(f"ckpt_{self.global_step}")
                     checkpoints_saved += 1
                     if (
                         self.max_checkpoints_this_run > 0

@@ -43,8 +43,8 @@ step = make_pool_train_step(net, env, cfg, tx, L, K)
 def runN(st, seating, opp, n=4):
     def body(c, _):
         s, seat, acc = c
-        s2, seat2, m, logs = step(s, seat, opp, None, jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0))
-        return (s2, seat2, acc + m["policy_loss"]), None
+        s2, seat2, m, stats, _pool = step(s, seat, opp, None, jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0))
+        return (s2, seat2, acc + m["policy_loss"] + stats["count"]), None
     (sf, seatf, acc), _ = jax.lax.scan(body, (st, seating, jnp.zeros(())), None, length=n)
     return acc
 float(runN(st, seating, opp))

@@ -145,6 +145,99 @@ def test_eval_stats_cli(trained_run):
     assert "Results over" in r.stdout
 
 
+# ------------------------------------------- CNN / CTDE through the CLI
+# (reference e2e.rs:757-1053 CNN train/resume/metadata/eval;
+#  e2e.rs:1285-1466 CTDE train + resume)
+@pytest.fixture(scope="module")
+def cnn_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli_cnn")
+    cfgp = write_tiny_config(
+        base / "cnn.toml",
+        env='"connect_four"',
+        network_type='"cnn"',
+        num_conv_layers=1,
+        conv_channels=[4],
+        cnn_fc_hidden_size=16,
+    )
+    run_dir = base / "run"
+    r = run_cli("train", "-c", str(cfgp), "--run-dir", str(run_dir), "--quiet")
+    assert r.returncode == 0, r.stderr
+    return run_dir
+
+
+def test_cnn_train_metadata_cli(cnn_run):
+    latest = (cnn_run / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["network_type"] == "cnn"
+    assert meta["env_name"] == "connect_four"
+    assert meta["obs_shape"] == [6, 7, 2]
+    assert meta["step"] >= 64
+
+
+def test_cnn_resume_cli(cnn_run):
+    r = run_cli(
+        "train", "--resume", str(cnn_run), "--total-steps", "128", "--quiet"
+    )
+    assert r.returncode == 0, r.stderr
+    latest = (cnn_run / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["step"] >= 128
+    assert meta["network_type"] == "cnn"
+
+
+def test_cnn_eval_cli(cnn_run):
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--random", "-n", "4",
+        "--num-envs", "2", "--seed", "2",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Results over" in r.stdout
+
+
+@pytest.fixture(scope="module")
+def ctde_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli_ctde")
+    cfgp = write_tiny_config(
+        base / "ctde.toml",
+        env='"liars_dice"',
+        network_type='"ctde"',
+        critic_hidden_size=16,
+        critic_num_hidden=1,
+    )
+    run_dir = base / "run"
+    r = run_cli("train", "-c", str(cfgp), "--run-dir", str(run_dir), "--quiet")
+    assert r.returncode == 0, r.stderr
+    return run_dir
+
+
+def test_ctde_train_metadata_cli(ctde_run):
+    latest = (ctde_run / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["network_type"] == "ctde"
+    assert meta["env_name"] == "liars_dice"
+    assert meta["privileged_obs_dim"] == 120
+    assert meta["step"] >= 64
+
+
+def test_ctde_resume_cli(ctde_run):
+    r = run_cli(
+        "train", "--resume", str(ctde_run), "--total-steps", "128", "--quiet"
+    )
+    assert r.returncode == 0, r.stderr
+    latest = (ctde_run / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest / "metadata.json").read_text())
+    assert meta["step"] >= 128
+
+
+def test_ctde_eval_cli(ctde_run):
+    r = run_cli(
+        "eval", "-c", str(ctde_run), "-n", "4", "--num-envs", "2",
+        "--seed", "3",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Results over" in r.stdout
+
+
 def test_supervisor_reload_cli(tmp_path):
     cfgp = write_tiny_config(tmp_path / "tiny.toml")
     run_dir = tmp_path / "suprun"

@@ -210,6 +210,48 @@ def test_pool_reseat_only_on_done(pool_setup):
     assert (seats[:, :L] == -1).all()
 
 
+def test_pool_capture_before_reseat_vectors(pool_setup):
+    """Placement capture happens BEFORE reseat/resample (ppo.rs:871-917):
+    at a done step, the logged seat/slots are the ones the finished
+    episode was played with; new seats/slots only show from t+1."""
+    env, net, learner, stacked = pool_setup
+    seating, (carry, seat_out, batch, logs) = run_pool(
+        env, net, learner, stacked, T=24, seed=11
+    )
+    dones = np.asarray(batch.dones)
+    seats = np.asarray(logs.learner_seat)  # [T, E]
+    slots = np.asarray(logs.seat_opp)  # [T, E, P]
+    completed = np.asarray(logs.episode.completed if hasattr(logs, "episode")
+                           else logs.completed)
+    L = 2
+    T, E = dones.shape
+    saw_done_mid = False
+    for e in range(L, E):
+        for t in range(1, T):
+            if dones[t, e] == 1.0 and dones[t - 1, e] == 0.0:
+                saw_done_mid = True
+                # The logged seat at the done step is the episode's seat.
+                assert seats[t, e] == seats[t - 1, e], (t, e)
+                np.testing.assert_array_equal(slots[t, e], slots[t - 1, e])
+    assert saw_done_mid, "test vectors never saw an episode finish"
+
+
+def test_pool_slot_resample_only_on_done(pool_setup):
+    env, net, learner, stacked = pool_setup
+    seating, (carry, seat_out, batch, logs) = run_pool(
+        env, net, learner, stacked, T=24, seed=12
+    )
+    dones = np.asarray(batch.dones)
+    slots = np.asarray(logs.seat_opp)
+    T, E = dones.shape
+    for e in range(E):
+        for t in range(T - 1):
+            if dones[t, e] == 0.0:
+                np.testing.assert_array_equal(
+                    slots[t + 1, e], slots[t, e], err_msg=f"t={t} e={e}"
+                )
+
+
 def test_pool_values_are_learner_values(pool_setup):
     """Opponents contribute actions only; the recorded values come from
     the learner critic (biased params have zero kernels -> constant
