@@ -35,6 +35,41 @@ from flax import struct
 State = Any
 
 
+# --------------------------------------------------------------------------
+# One-hot read/write primitives for env code.
+#
+# Under vmap, `arr[i]` / `arr.at[i].set(v)` with a traced index lowers to
+# a per-env gather/scatter, and TPU gathers pay ~12.5ns PER INDEX
+# (docs/DESIGN.md perf table). Game steps perform dozens of seat-indexed
+# accesses, so at 2-4k envs the env — not the network — becomes the
+# training bottleneck. These helpers keep every such access a small
+# elementwise op (the arrays are 4-24 wide).
+# --------------------------------------------------------------------------
+def onehot_eq(i: jax.Array, size: int) -> jax.Array:
+    """Boolean one-hot row: arange(size) == i (all-False when i is out
+    of range, unlike a clamping gather)."""
+    return jnp.arange(size) == i
+
+
+def read_at(arr: jax.Array, i: jax.Array, size: int) -> jax.Array:
+    """arr[i] as a one-hot contraction (bool arrays use any-of)."""
+    oh = onehot_eq(i, size)
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & oh)
+    return jnp.sum(jnp.where(oh, arr, 0))
+
+
+def write_at(arr: jax.Array, i: jax.Array, val, size: int) -> jax.Array:
+    """arr.at[i].set(val) as a where()."""
+    return jnp.where(onehot_eq(i, size), val, arr)
+
+
+def read_row(arr2d: jax.Array, i: jax.Array, size: int) -> jax.Array:
+    """arr2d[i] (row select) as a one-hot contraction over axis 0."""
+    oh = onehot_eq(i, size)
+    return jnp.sum(jnp.where(oh[:, None], arr2d, 0), axis=0)
+
+
 @dataclass(frozen=True)
 class EnvSpec:
     """Static environment description.

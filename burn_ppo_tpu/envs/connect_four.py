@@ -74,28 +74,29 @@ class ConnectFour(Environment):
         )
 
     def step(self, state: ConnectFourState, action: jax.Array) -> ConnectFourState:
+        # Column/cell accesses are one-hot contractions, not per-env
+        # gathers/scatters (envs/base.py:onehot_eq note).
         action = jnp.clip(action, 0, COLS - 1)
-        col = state.board[:, action]
+        col_oh = jnp.arange(COLS) == action
+        col = jnp.sum(jnp.where(col_oh[None, :], state.board, 0), axis=1)
         filled = jnp.sum((col != 0).astype(jnp.int32))
         drop_row = ROWS - 1 - filled
         invalid = (filled >= ROWS) | state.done
 
         piece = state.current + 1
-        board = state.board.at[drop_row, action].set(
-            jnp.where(invalid, state.board[drop_row, action], piece)
-        )
+        cell = (jnp.arange(ROWS) == drop_row)[:, None] & col_oh[None, :]
+        board = jnp.where(cell & ~invalid, piece, state.board)
 
         won = _has_win(board == piece) & ~invalid
         full = jnp.all(board[0, :] != 0)
         done = won | full | invalid
 
         cur, other = state.current, 1 - state.current
-        rewards = jnp.zeros((2,), jnp.float32)
         rewards = jnp.where(
             won,
-            rewards.at[cur].set(1.0).at[other].set(-1.0),
-            rewards,
-        )
+            jnp.where(jnp.arange(2) == cur, 1.0, -1.0),
+            0.0,
+        ).astype(jnp.float32)
         winner = jnp.where(
             won, cur, jnp.where(full & ~won, 2, jnp.where(invalid, state.winner, -1))
         ).astype(jnp.int32)

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from burn_ppo_tpu.envs import register
-from burn_ppo_tpu.envs.base import Environment, EnvSpec
+from burn_ppo_tpu.envs.base import (
+    Environment,
+    EnvSpec,
+    onehot_eq,
+    read_at,
+    read_row,
+)
 
 P = 4  # players
 DICE = 2  # dice per player
@@ -72,12 +78,15 @@ def _roll_dice(key):
 
 
 def _next_alive(dice_count, from_player):
-    """First alive player clockwise after ``from_player``."""
-    offsets = jnp.arange(1, P + 1)
-    cands = (from_player + offsets) % P
-    alive = dice_count[cands] > 0
-    first = jnp.argmax(alive)  # first True
-    return cands[first].astype(jnp.int32)
+    """First alive player clockwise after ``from_player`` —
+    distance-argmin formulation, no gather (envs/base.py:onehot_eq)."""
+    alive = dice_count > 0
+    idx = jnp.arange(P)
+    dist = (idx - from_player - 1) % P
+    d = jnp.where(alive, dist, P + 1)
+    return jnp.where(
+        jnp.any(alive), jnp.argmin(d), (from_player + 1) % P
+    ).astype(jnp.int32)
 
 
 def _count_face(dice, dice_count, face):
@@ -145,9 +154,8 @@ class LiarsDice(Environment):
             full = s.hist_len >= HIST
             hist_shifted = jnp.where(full, jnp.roll(s.hist, -1, axis=0), s.hist)
             write_at = jnp.where(full, HIST - 1, s.hist_len)
-            hist = jax.lax.dynamic_update_slice(
-                hist_shifted, entry[None, :], (write_at, 0)
-            )
+            row = jnp.arange(HIST)[:, None] == write_at
+            hist = jnp.where(row, entry[None, :], hist_shifted)
             return s.replace(
                 bid_qty=qty,
                 bid_face=face,
@@ -166,12 +174,13 @@ class LiarsDice(Environment):
             caller_correct = actual < s.bid_qty
             loser = jnp.where(caller_correct, s.last_bidder, cur).astype(jnp.int32)
 
-            dice_count = s.dice_count.at[loser].add(-1)
-            eliminated_now = dice_count[loser] == 0
+            oh_loser = onehot_eq(loser, P)
+            dice_count = s.dice_count - oh_loser.astype(jnp.int32)
+            eliminated_now = read_at(dice_count, loser, P) == 0
             # placement for a fresh elimination: P - num_eliminated
             placements = jnp.where(
-                eliminated_now,
-                s.placements.at[loser].set(P - s.num_eliminated),
+                eliminated_now & oh_loser,
+                P - s.num_eliminated,
                 s.placements,
             )
             num_elim = s.num_eliminated + eliminated_now.astype(jnp.int32)
@@ -180,17 +189,25 @@ class LiarsDice(Environment):
             game_over = jnp.sum(alive.astype(jnp.int32)) <= 1
             winner = jnp.argmax(alive).astype(jnp.int32)
             placements = jnp.where(
-                game_over, placements.at[winner].set(1), placements
+                game_over & onehot_eq(winner, P), 1, placements
             )
 
             # Survival shaping for players alive after resolution
             rewards = jnp.where(alive, s.shaping_coef, 0.0).astype(jnp.float32)
             # Final placement rewards REPLACE shaping at game end (=, not +=)
-            final = PLACEMENT_REWARDS[jnp.clip(placements - 1, 0, P - 1)]
+            pl_oh = (
+                jnp.clip(placements - 1, 0, P - 1)[:, None]
+                == jnp.arange(P)[None, :]
+            )
+            final = jnp.sum(
+                jnp.where(pl_oh, PLACEMENT_REWARDS[None, :], 0.0), axis=1
+            )
             rewards = jnp.where(game_over, final, rewards)
 
             next_player = jnp.where(
-                dice_count[loser] > 0, loser, _next_alive(dice_count, loser)
+                read_at(dice_count, loser, P) > 0,
+                loser,
+                _next_alive(dice_count, loser),
             ).astype(jnp.int32)
 
             key, k_dice = jax.random.split(s.key)
@@ -231,14 +248,17 @@ class LiarsDice(Environment):
         rel = (jnp.arange(P) + cur) % P  # relative -> absolute seat map
 
         # Own dice one-hot (12): die i valid if i < dice_count[cur]
-        own = state.dice[cur]  # [DICE]
-        live = jnp.arange(DICE) < state.dice_count[cur]
+        own = read_row(state.dice, cur, P)  # [DICE]
+        live = jnp.arange(DICE) < read_at(state.dice_count, cur, P)
         own_oh = (
             jax.nn.one_hot(own - 1, FACES) * live[:, None].astype(jnp.float32)
         ).reshape(-1)
 
-        counts = state.dice_count[rel].astype(jnp.float32) / DICE  # [4]
-        alive = (state.dice_count[rel] > 0).astype(jnp.float32)  # [4]
+        # Player-relative permutation as a one-hot contraction (no gather).
+        Mrel = rel[:, None] == jnp.arange(P)[None, :]
+        dc_rel = jnp.sum(jnp.where(Mrel, state.dice_count[None, :], 0), axis=1)
+        counts = dc_rel.astype(jnp.float32) / DICE  # [4]
+        alive = (dc_rel > 0).astype(jnp.float32)  # [4]
         seat = jax.nn.one_hot(cur, P)  # absolute
 
         has_bid = state.bid_qty > 0
@@ -284,7 +304,9 @@ class LiarsDice(Environment):
         bids = (q <= total) & (no_bid | higher)  # [8,6]
         call = (~no_bid)[None]
         mask = jnp.concatenate([bids.reshape(-1), call])
-        playable = (state.dice_count[state.current] > 0) & ~state.game_over
+        playable = (
+            read_at(state.dice_count, state.current, P) > 0
+        ) & ~state.game_over
         return mask & playable
 
     def current_player(self, state: LiarsDiceState) -> jax.Array:
@@ -311,7 +333,11 @@ class LiarsDice(Environment):
         src = state.hist_len - 1 - idx  # recent -> old; negative = invalid
         valid = (src >= 0).astype(jnp.float32)
         src_c = jnp.clip(src, 0, HIST - 1)
-        entries = state.hist[src_c]  # [16, 3]
+        # Row selection as a one-hot contraction (no gather).
+        Msrc = src_c[:, None] == jnp.arange(HIST)[None, :]
+        entries = jnp.sum(
+            jnp.where(Msrc[:, :, None], state.hist[None, :, :], 0), axis=1
+        )  # [16, 3]
         hist = jnp.stack(
             [
                 entries[:, 0].astype(jnp.float32) / P * valid,

@@ -57,6 +57,16 @@ PRIV_DIM = 200  # 103 exact, padded (skull.rs:1059)
 ROSE_C, SKULL_C = 1, 2
 
 
+# One-hot read/write primitives (base.py): every seat-indexed access is
+# an elementwise op, never a per-env gather/scatter — see the note at
+# envs/base.py:onehot_eq for why this matters on TPU.
+from burn_ppo_tpu.envs.base import (  # noqa: E402
+    onehot_eq as _oh,
+    read_at as _read,
+    write_at as _write,
+)
+
+
 class SkullState(struct.PyTreeNode):
     has_trap: jax.Array  # bool[6]
     rose_count: jax.Array  # i32[6]
@@ -119,21 +129,24 @@ class Skull(Environment):
     def _coasters(self, s: SkullState) -> jax.Array:
         return s.has_trap.astype(jnp.int32) + s.rose_count
 
+    def _first_clockwise(self, ok: jax.Array, frm: jax.Array) -> jax.Array:
+        """Index of the first True in ``ok`` clockwise after ``frm``
+        (wrapping through frm itself last); (frm+1)%n when none.
+        Distance-argmin formulation — no gather."""
+        idx = jnp.arange(MAXP)
+        dist = (idx - frm - 1) % self.n
+        d = jnp.where(ok, dist, MAXP + 1)
+        return jnp.where(
+            jnp.any(ok), jnp.argmin(d), (frm + 1) % self.n
+        ).astype(jnp.int32)
+
     def _next_alive(self, s: SkullState, frm: jax.Array) -> jax.Array:
-        alive = self._alive(s)
-        offs = jnp.arange(1, self.n + 1)
-        cands = (frm + offs) % self.n
-        ok = alive[cands]
-        return cands[jnp.argmax(ok)].astype(jnp.int32)
+        return self._first_clockwise(self._alive(s), frm)
 
     def _next_non_passed(self, s: SkullState, frm: jax.Array):
         """(found: bool, idx) — next alive non-passed player clockwise."""
         ok_all = self._alive(s) & ~s.passed
-        offs = jnp.arange(1, self.n + 1)
-        cands = (frm + offs) % self.n
-        ok = ok_all[cands]
-        found = jnp.any(ok)
-        return found, cands[jnp.argmax(ok)].astype(jnp.int32)
+        return jnp.any(ok_all), self._first_clockwise(ok_all, frm)
 
     def _skulls_in_stack(self, s: SkullState) -> jax.Array:
         live = jnp.arange(CARDS)[None, :] < s.stack_len[:, None]
@@ -206,9 +219,9 @@ class Skull(Environment):
 
     def _start_new_round(self, s: SkullState, starter: jax.Array) -> SkullState:
         alive = self._alive(s)
-        cur = jnp.where(alive[starter], starter, self._next_alive(s, starter)).astype(
-            jnp.int32
-        )
+        cur = jnp.where(
+            _read(alive, starter, MAXP), starter, self._next_alive(s, starter)
+        ).astype(jnp.int32)
         return s.replace(
             stack=jnp.zeros((MAXP, CARDS), jnp.int32),
             stack_len=jnp.zeros((MAXP,), jnp.int32),
@@ -230,7 +243,8 @@ class Skull(Environment):
         full = s.hist_len >= HIST
         shifted = jnp.where(full, jnp.roll(s.hist, -1, axis=0), s.hist)
         at = jnp.where(full, HIST - 1, s.hist_len)
-        hist = jax.lax.dynamic_update_slice(shifted, entry[None, :], (at, 0))
+        row = jnp.arange(HIST)[:, None] == at  # one-hot row write, no scatter
+        hist = jnp.where(row, entry[None, :], shifted)
         return s.replace(hist=hist, hist_len=jnp.minimum(s.hist_len + 1, HIST))
 
     def _to_revealing(self, s: SkullState) -> SkullState:
@@ -273,9 +287,12 @@ class Skull(Environment):
             card = jnp.where(action == PLACE_SKULL, SKULL_C, ROSE_C)
 
             def place(s):
-                stack = s.stack.at[cur, s.stack_len[cur]].set(card)
+                oh_cur = _oh(cur, MAXP)
+                len_cur = _read(s.stack_len, cur, MAXP)
+                cell = oh_cur[:, None] & (jnp.arange(CARDS)[None, :] == len_cur)
                 s = s.replace(
-                    stack=stack, stack_len=s.stack_len.at[cur].add(1)
+                    stack=jnp.where(cell, card, s.stack),
+                    stack_len=s.stack_len + oh_cur.astype(jnp.int32),
                 )
                 return s.replace(current=self._next_alive(s, cur))
 
@@ -324,7 +341,7 @@ class Skull(Environment):
                 )
 
             def do_pass(s):
-                s = s.replace(passed=s.passed.at[cur].set(True))
+                s = s.replace(passed=s.passed | _oh(cur, MAXP))
                 s = self._push_hist(s, cur, jnp.zeros((), jnp.int32))
                 return self._check_bidding_end(s)
 
@@ -335,15 +352,24 @@ class Skull(Environment):
             bidder = s.current_bidder
             target = jnp.clip(action - REVEAL_BASE, 0, MAXP - 1)
 
-            card_idx = s.stack_len[target] - 1 - s.revealed[target]
-            card = s.stack[target, jnp.clip(card_idx, 0, CARDS - 1)]
+            oh_t = _oh(target, MAXP)
+            oh_b = _oh(bidder, MAXP)
+            card_idx = _read(s.stack_len, target, MAXP) - 1 - _read(
+                s.revealed, target, MAXP
+            )
+            cell = oh_t[:, None] & (
+                jnp.arange(CARDS)[None, :] == jnp.clip(card_idx, 0, CARDS - 1)
+            )
+            card = jnp.sum(jnp.where(cell, s.stack, 0))
             is_skull = card == SKULL_C
             s = s.replace(
-                revealed=s.revealed.at[target].add(1),
+                revealed=s.revealed + oh_t.astype(jnp.int32),
                 roses_found=s.roses_found + (~is_skull).astype(jnp.int32),
             )
             own_done = (target == bidder) & (
-                s.stack_len[bidder] - s.revealed[bidder] <= 0
+                _read(s.stack_len, bidder, MAXP)
+                - _read(s.revealed, bidder, MAXP)
+                <= 0
             )
             s = s.replace(must_reveal_own=s.must_reveal_own & ~own_done)
             rsc = s.shaping_coef
@@ -351,35 +377,39 @@ class Skull(Environment):
             def on_skull(s: SkullState) -> SkullState:
                 # Bidder loses a random coaster (skull.rs:290-307).
                 key, k_choice = jax.random.split(s.key)
-                coasters = self._coasters(s)[bidder]
+                coasters = _read(self._coasters(s), bidder, MAXP)
+                trap_b = _read(s.has_trap, bidder, MAXP)
+                roses_b = _read(s.rose_count, bidder, MAXP)
                 choice = jax.random.randint(
                     k_choice, (), 0, jnp.maximum(coasters, 1)
                 )
-                lose_skull = s.has_trap[bidder] & (choice == 0)
+                lose_skull = trap_b & (choice == 0)
                 # Interactive override: forced skull/rose discard if legal.
                 lose_skull = jnp.where(
                     s.forced_discard == 0,
-                    s.has_trap[bidder],
+                    trap_b,
                     jnp.where(
                         s.forced_discard == 1,
-                        s.has_trap[bidder] & (s.rose_count[bidder] == 0),
+                        trap_b & (roses_b == 0),
                         lose_skull,
                     ),
                 )
-                has_trap = s.has_trap.at[bidder].set(
-                    s.has_trap[bidder] & ~lose_skull
+                has_trap = _write(
+                    s.has_trap, bidder, s.has_trap & ~lose_skull, MAXP
                 )
-                rose_count = s.rose_count.at[bidder].add(
-                    jnp.where(lose_skull | (coasters == 0), 0, -1)
+                rose_count = s.rose_count + jnp.where(
+                    _oh(bidder, MAXP),
+                    jnp.where(lose_skull | (coasters == 0), 0, -1),
+                    0,
                 )
                 s = s.replace(has_trap=has_trap, rose_count=rose_count, key=key)
-                newly_elim = (self._coasters(s)[bidder] == 0) & (
-                    s.elim_pos[bidder] < 0
-                )
+                newly_elim = (
+                    _read(self._coasters(s), bidder, MAXP) == 0
+                ) & (_read(s.elim_pos, bidder, MAXP) < 0)
                 s = s.replace(
                     elim_pos=jnp.where(
-                        newly_elim,
-                        s.elim_pos.at[bidder].set(s.num_eliminated),
+                        newly_elim & _oh(bidder, MAXP),
+                        s.num_eliminated,
                         s.elim_pos,
                     ),
                     num_eliminated=s.num_eliminated + newly_elim.astype(jnp.int32),
@@ -398,13 +428,19 @@ class Skull(Environment):
                     return s.replace(rewards=self._final_rewards(s))
 
                 def next_round(s):
-                    shaped = jnp.zeros((n,), jnp.float32).at[bidder].add(
-                        jnp.where(rsc > 0, -rsc / CARDS, 0.0)
+                    shaped = jnp.where(
+                        jnp.arange(n) == bidder,
+                        jnp.where(rsc > 0, -rsc / CARDS, 0.0),
+                        0.0,
                     )
                     starter = jnp.where(
-                        alive[bidder],
+                        _read(alive, bidder, MAXP),
                         bidder,
-                        jnp.where(alive[target], target, self._next_alive(s, target)),
+                        jnp.where(
+                            _read(alive, target, MAXP),
+                            target,
+                            self._next_alive(s, target),
+                        ),
                     ).astype(jnp.int32)
                     return self._start_new_round(
                         s.replace(rewards=shaped), starter
@@ -416,9 +452,13 @@ class Skull(Environment):
                 success = s.roses_found >= s.current_bid
 
                 def on_success(s):
-                    s = s.replace(wins=s.wins.at[bidder].add(1))
+                    s = s.replace(
+                        wins=s.wins + _oh(bidder, MAXP).astype(jnp.int32)
+                    )
                     alive_cnt = jnp.sum(self._alive(s).astype(jnp.int32))
-                    game_won = (s.wins[bidder] >= WINS_TO_WIN) | (alive_cnt == 1)
+                    game_won = (
+                        _read(s.wins, bidder, MAXP) >= WINS_TO_WIN
+                    ) | (alive_cnt == 1)
 
                     def end_game(s):
                         s = s.replace(
@@ -429,8 +469,10 @@ class Skull(Environment):
                         return s.replace(rewards=self._final_rewards(s))
 
                     def next_round(s):
-                        shaped = jnp.zeros((n,), jnp.float32).at[bidder].add(
-                            jnp.where(rsc > 0, rsc, 0.0)
+                        shaped = jnp.where(
+                            jnp.arange(n) == bidder,
+                            jnp.where(rsc > 0, rsc, 0.0),
+                            0.0,
                         )
                         return self._start_new_round(
                             s.replace(rewards=shaped), bidder
@@ -465,8 +507,15 @@ class Skull(Environment):
 
         skulls_in = self._skulls_in_stack(s)
         roses_in = self._roses_in_stack(s)
-        has_trap_hand = s.has_trap[cur] & (skulls_in[cur] == 0)
-        roses_hand = jnp.clip(s.rose_count[cur] - roses_in[cur], 0, ROSES)
+        oh_cur = _oh(cur, MAXP)
+        has_trap_hand = _read(s.has_trap, cur, MAXP) & (
+            _read(skulls_in, cur, MAXP) == 0
+        )
+        roses_hand = jnp.clip(
+            _read(s.rose_count, cur, MAXP) - _read(roses_in, cur, MAXP),
+            0,
+            ROSES,
+        )
 
         own_hand = jnp.concatenate(
             [
@@ -474,13 +523,23 @@ class Skull(Environment):
                 (jnp.arange(ROSES) < roses_hand).astype(jnp.float32),
             ]
         )
+        stack_cur = jnp.sum(
+            jnp.where(oh_cur[:, None], s.stack, 0), axis=0
+        )  # [CARDS]
         own_stack = (
-            (s.stack[cur] == SKULL_C)
-            & (jnp.arange(CARDS) < s.stack_len[cur])
+            (stack_cur == SKULL_C)
+            & (jnp.arange(CARDS) < _read(s.stack_len, cur, MAXP))
         ).astype(jnp.float32)
 
+        # Player-relative permutation as a one-hot matrix contraction
+        # (a 6x6 elementwise op per array instead of a 6-index gather).
+        M = absmap[:, None] == jnp.arange(MAXP)[None, :]
+
         def rel_gather(arr_f32):
-            return arr_f32[absmap] * valid_rel
+            return (
+                jnp.sum(jnp.where(M, arr_f32[None, :], 0.0), axis=1)
+                * valid_rel
+            )
 
         coasters = self._coasters(s).astype(jnp.float32)
         alive = self._alive(s).astype(jnp.float32)
@@ -535,24 +594,32 @@ class Skull(Environment):
         bidding = s.phase == 1
         revealing = s.phase == 2
 
-        has_trap_hand = s.has_trap[cur] & (skulls_in[cur] == 0)
-        roses_hand = s.rose_count[cur] - roses_in[cur]
+        has_trap_hand = _read(s.has_trap, cur, MAXP) & (
+            _read(skulls_in, cur, MAXP) == 0
+        )
+        roses_hand = _read(s.rose_count, cur, MAXP) - _read(roses_in, cur, MAXP)
         m_skull = placing & has_trap_hand
         m_rose = placing & (roses_hand > 0)
 
-        can_open_bid = placing & (s.stack_len[cur] > 0)
+        can_open_bid = placing & (_read(s.stack_len, cur, MAXP) > 0)
         min_bid = jnp.maximum(s.current_bid + 1, 1)
         m_bids = (
             (can_open_bid | bidding) & (bids >= min_bid) & (bids <= total_cards)
         )
 
         alive_np = self._alive(s) & ~s.passed
-        m_pass = bidding & ~s.passed[cur] & (jnp.sum(alive_np.astype(jnp.int32)) > 1)
+        m_pass = (
+            bidding
+            & ~_read(s.passed, cur, MAXP)
+            & (jnp.sum(alive_np.astype(jnp.int32)) > 1)
+        )
 
         unrevealed = s.stack_len - s.revealed
         bidder = s.current_bidder
         is_bidder = revealing & (cur == bidder)
-        own_unrevealed = jnp.where(bidder >= 0, unrevealed[jnp.clip(bidder, 0, MAXP - 1)], 0)
+        own_unrevealed = jnp.where(
+            bidder >= 0, _read(unrevealed, bidder, MAXP), 0
+        )
         must_own = s.must_reveal_own & (own_unrevealed > 0)
         seat_idx = jnp.arange(MAXP)
         m_reveal = is_bidder & (
@@ -562,7 +629,7 @@ class Skull(Environment):
                 (unrevealed > 0) & (seat_idx < n),
             )
         )
-        m_reveal = m_reveal & (unrevealed[jnp.clip(seat_idx, 0, MAXP - 1)] > 0)
+        m_reveal = m_reveal & (unrevealed > 0)  # seat_idx == arange: no gather
 
         mask = jnp.concatenate(
             [
@@ -604,7 +671,11 @@ class Skull(Environment):
         idx = jnp.arange(H)
         src = s.hist_len - 1 - idx
         hvalid = (src >= 0).astype(jnp.float32)
-        entries = s.hist[jnp.clip(src, 0, HIST - 1)]
+        # Row selection as a [H, HIST] one-hot contraction (no gather).
+        Msrc = jnp.clip(src, 0, HIST - 1)[:, None] == jnp.arange(HIST)[None, :]
+        entries = jnp.sum(
+            jnp.where(Msrc[:, :, None], s.hist[None, :, :], 0), axis=1
+        )  # [H, 2]
         parts.append(
             jnp.stack(
                 [
