@@ -1,17 +1,18 @@
 """Headline benchmark: PPO training throughput (env steps/sec).
 
-Two measurements, both full fused train steps (on-device rollout + GAE +
-PPO update) run as ONE jitted `lax.scan` so host dispatch/transport stays
-out of the device-throughput number:
+Three measurements, all full fused train steps (on-device rollout + GAE
++ PPO update) run as ONE jitted `lax.scan` so host dispatch/transport
+stays out of the device-throughput number:
 
   1. cartpole — the reference's CartPole config shape
      (configs/cartpole.toml: 32 envs x 128 steps, hidden 64x2) scaled to
      the TPU throughput sweet spot (4096 envs; larger batches leave
      on-chip memory and lose ~40%). This is the headline metric.
   2. selfplay_pool — Connect Four, hidden 512, K=8 stacked opponents,
-     25% pool envs: the path that dominates flagship (skull/liars-dice)
-     training. Guards the stacked-opponent einsum + reseat machinery
-     against perf regressions (VERDICT r1 item 4).
+     25% pool envs: guards the stacked-opponent einsum + reseat
+     machinery against perf regressions (VERDICT r1 item 4).
+  3. skull_ctde — the flagship config shape (Skull 4p, CTDE hidden
+     512): guards the heaviest env's one-hot game logic.
 
 MFU context (VERDICT r1 item 9): achieved model FLOP/s = analytic
 model FLOPs/env-step x measured steps/s, reported as a fraction of the
@@ -259,6 +260,64 @@ def bench_selfplay_pool(jax, jnp):
     return sps, sps * flops_per_step, nopool_sps
 
 
+def bench_skull_ctde(jax, jnp):
+    """Flagship-config throughput: Skull 4p CTDE hidden-512 fused step."""
+    from burn_ppo_tpu.config import Config
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.parallel.mesh import make_mesh, replicate, shard_rollout_carry
+    from burn_ppo_tpu.ppo.rollout import init_rollout_carry
+    from burn_ppo_tpu.ppo.update import PPOUpdateConfig, make_optimizer
+    from burn_ppo_tpu.train import TrainState, build_network_for_env, make_train_step
+
+    E = int(os.environ.get("BENCH_SKULL_NUM_ENVS", "4096"))
+    T = int(os.environ.get("BENCH_SKULL_NUM_STEPS", "64"))
+    iters = int(os.environ.get("BENCH_SKULL_ITERS", "10"))
+
+    cfg = Config(
+        env="skull", player_count=4, network_type="ctde", num_envs=E,
+        num_steps=T, total_steps=10**9, hidden_size=512, num_hidden=2,
+        critic_hidden_size=512, critic_num_hidden=2, num_minibatches=4,
+        num_epochs=4, seed=0, opponent_pool_fraction=0.0,
+    )
+    mesh = make_mesh()
+    env = make_env("skull").with_num_players(4)
+    net = build_network_for_env(env, cfg)
+    tx = make_optimizer(PPOUpdateConfig(max_grad_norm=0.5, adam_epsilon=1e-5))
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = replicate(net.init(k[0]), mesh)
+    st = TrainState(
+        params=params,
+        opt_state=replicate(tx.init(jax.device_get(params)), mesh),
+        carry=shard_rollout_carry(init_rollout_carry(env, E, k[1]), mesh),
+        obs_norm=None, popart=None, update_key=k[2],
+    )
+    step = make_train_step(net, env, cfg, tx, compact_stats=True)
+
+    def run_iters(st, n):
+        def body(c, _):
+            s, acc = c
+            s2, m, stats = step(
+                s, jnp.float32(3e-4), jnp.float32(0.05), jnp.float32(0.0)
+            )
+            return (s2, acc + m["policy_loss"] + stats["count"]), None
+
+        (sf, acc), _ = jax.lax.scan(body, (st, jnp.zeros(())), None, length=n)
+        return acc
+
+    run1 = jax.jit(lambda s: run_iters(s, 1))
+    runN = jax.jit(lambda s: run_iters(s, iters))
+    float(run1(st))
+    float(runN(st))
+    t0 = time.perf_counter()
+    float(runN(st))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run1(st))
+    dt_1 = time.perf_counter() - t0
+    per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+    return E * T / per_iter
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -267,10 +326,14 @@ def main() -> int:
 
     sps, flops = bench_cartpole(jax, jnp)
     sp_sps, sp_flops, sp_nopool_sps = bench_selfplay_pool(jax, jnp)
+    skull_sps = bench_skull_ctde(jax, jnp)
 
     prev = previous_bench()
     prev_main = float(prev["value"]) if prev else 0.0
     prev_sp = float((prev or {}).get("extra", {}).get("selfplay_pool_sps", 0.0))
+    prev_skull = float(
+        (prev or {}).get("extra", {}).get("skull_ctde_sps", 0.0)
+    )
 
     extra = {
         "selfplay_pool_sps": round(sp_sps, 1),
@@ -280,6 +343,10 @@ def main() -> int:
         "selfplay_nopool_sps": round(sp_nopool_sps, 1),
         "pool_overhead_pct": round(
             100.0 * (sp_nopool_sps / sp_sps - 1.0), 1
+        ),
+        "skull_ctde_sps": round(skull_sps, 1),
+        "skull_ctde_vs_baseline": (
+            round(skull_sps / prev_skull, 3) if prev_skull else 1.0
         ),
         "achieved_tflops": round(flops / 1e12, 3),
         "mfu_pct": round(100.0 * flops / (peak_tflops * 1e12), 3),
