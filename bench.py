@@ -51,6 +51,24 @@ def previous_bench() -> dict | None:
     return best
 
 
+def time_per_iter(run1, runN, iters, *args) -> float:
+    """Steady-state seconds per iteration.
+
+    Warms/compiles both programs, then (dt_N - dt_1) / (iters - 1)
+    cancels the constant dispatch+transport floor. Timing forces
+    completion by fetching the scalar result (block_until_ready is a
+    no-op through the tunnel)."""
+    float(run1(*args))
+    float(runN(*args))
+    t0 = time.perf_counter()
+    float(runN(*args))
+    dt_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run1(*args))
+    dt_1 = time.perf_counter() - t0
+    return max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+
+
 def dense_fwd_flops(sizes) -> int:
     """2 * sum(in*out + out) over a dense stack."""
     total = 0
@@ -126,19 +144,7 @@ def bench_cartpole(jax, jnp):
 
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
-
-    float(run1(state))  # warmup / compile
-    float(runN(state))
-
-    t0 = time.perf_counter()
-    float(runN(state))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run1(state))
-    dt_1 = time.perf_counter() - t0
-    # (dt_n - dt_1) / (iters - 1) cancels the constant dispatch+transport
-    # floor, leaving steady-state per-iteration time.
-    per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+    per_iter = time_per_iter(run1, runN, iters, state)
     sps = num_envs * num_steps / per_iter
 
     # Analytic model FLOPs per env step: rollout forward (1x) + update
@@ -210,16 +216,7 @@ def bench_selfplay_pool(jax, jnp):
 
     run1 = jax.jit(lambda s, seat: run_iters(s, seat, 1))
     runN = jax.jit(lambda s, seat: run_iters(s, seat, iters))
-    float(run1(st, seating))
-    float(runN(st, seating))
-    t0 = time.perf_counter()
-    float(runN(st, seating))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run1(st, seating))
-    dt_1 = time.perf_counter() - t0
-    per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
-    sps = E * T / per_iter
+    sps = E * T / time_per_iter(run1, runN, iters, st, seating)
 
     # Same config WITHOUT the pool — records the full vs-pool overhead
     # (stacked-opponent forwards + reseat machinery) as a ratio.
@@ -242,16 +239,7 @@ def bench_selfplay_pool(jax, jnp):
 
     run1_np = jax.jit(lambda s: run_iters_np(s, 1))
     runN_np = jax.jit(lambda s: run_iters_np(s, iters))
-    float(run1_np(st))
-    float(runN_np(st))
-    t0 = time.perf_counter()
-    float(runN_np(st))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run1_np(st))
-    dt_1 = time.perf_counter() - t0
-    per_iter_np = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
-    nopool_sps = E * T / per_iter_np
+    nopool_sps = E * T / time_per_iter(run1_np, runN_np, iters, st)
 
     # Learner fwd on all envs + K opponent fwds on the pool 25% + update.
     h, d, a = cfg.hidden_size, env.spec.obs_dim, env.spec.num_actions
@@ -306,16 +294,7 @@ def bench_skull_ctde(jax, jnp):
 
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
-    float(run1(st))
-    float(runN(st))
-    t0 = time.perf_counter()
-    float(runN(st))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run1(st))
-    dt_1 = time.perf_counter() - t0
-    per_iter = max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
-    return E * T / per_iter
+    return E * T / time_per_iter(run1, runN, iters, st)
 
 
 def main() -> int:

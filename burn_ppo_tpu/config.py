@@ -75,11 +75,16 @@ class PlayerCountMode:
         """Initial/fixed player count for training setup.
 
         Reference semantics (config.rs:675-681): Fixed -> count,
-        UniformRandom | Curriculum -> min, WeightedRandom -> 4."""
+        UniformRandom | Curriculum -> min, WeightedRandom -> 4.
+        A milestones-spelled curriculum (this framework's alternative to
+        min/max/warmup_steps) starts at its earliest milestone's count.
+        """
         if self.mode == "fixed":
             return self.count
         if self.mode == "weighted_random":
             return 4
+        if self.mode == "curriculum" and self.milestones:
+            return min(self.milestones, key=lambda m: m[1])[0]
         return self.min_players
 
     @staticmethod
@@ -116,14 +121,16 @@ class PlayerCountMode:
         if self.mode == "weighted_random":
             d["weights"] = list(self.weights)
         if self.mode == "curriculum":
+            # Emit EVERY field: the run-dir config snapshot round-trips
+            # through this on --resume, and dropping min/max/warmup here
+            # would silently change get_fixed_count() across the resume.
+            d.update(
+                min_players=self.min_players,
+                max_players=self.max_players,
+                warmup_steps=self.warmup_steps,
+            )
             if self.milestones:
                 d["milestones"] = [[c, s] for c, s in self.milestones]
-            else:
-                d.update(
-                    min_players=self.min_players,
-                    max_players=self.max_players,
-                    warmup_steps=self.warmup_steps,
-                )
         return d
 
 

@@ -368,6 +368,17 @@ def make_acting_logits_fn(env, sources: List[PlayerSource], num_envs: int):
         all(u.obs_norm is None for u in uniques)
         or all(u.obs_norm is not None for u in uniques)
     )
+    # The grouped path materializes per-env parameter selections
+    # (E x |params| floats) and its contraction costs ~E*|params| MACs;
+    # that beats U full-batch forwards only while |params| stays modest.
+    # Past the cap, the deduped per-unique-model fallback is cheaper and
+    # has no memory blow-up.
+    n_params = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves(uniques[0].params)
+    )
+    if n_params * num_envs > 64_000_000:  # 256MB of f32 selections
+        homogeneous = False
 
     if homogeneous:
         net0 = uniques[0].network
@@ -411,10 +422,12 @@ def make_acting_logits_fn(env, sources: List[PlayerSource], num_envs: int):
         logits_all = jnp.stack(outs)  # [U, E, A]
         au = unique_idx[acting_source]
         rand_e = is_random[acting_source]
-        # One-hot contraction, not take_along_axis (repo gather rule:
-        # TPU per-index gather cost; see ops/categorical.py:51-55).
-        uoh = jax.nn.one_hot(au, U, dtype=logits_all.dtype)
-        logits = jnp.einsum("uea,eu->ea", logits_all, uoh)
+        # One-hot SELECT via where(), not an einsum (repo gather rule,
+        # ops/categorical.py:51-55) — where() also keeps one source's
+        # NaN/Inf logits from poisoning envs acted by healthy sources
+        # (0 * NaN would be NaN).
+        sel = (jnp.arange(U)[:, None] == au[None, :])[:, :, None]  # [U,E,1]
+        logits = jnp.sum(jnp.where(sel, logits_all, 0.0), axis=0)
         return jnp.where(rand_e[:, None], 0.0, logits)
 
     return hetero

@@ -159,24 +159,6 @@ def all_hosts_mean(value: float) -> float:
     return float(np.mean(arr))
 
 
-def host_global_offset(x: jax.Array, axis: int = 0) -> int:
-    """Global start index (along ``axis``) of this process's shard block.
-
-    Companion to ``host_local_slice``: a [T, E]-sharded episode log's
-    local block covers global env columns [offset, offset + local_E);
-    host bookkeeping that splits envs at a GLOBAL boundary (e.g. the
-    learner/pool env split) must subtract this offset first."""
-    if jax.process_count() == 1:
-        return 0
-    starts = []
-    for s in x.addressable_shards:
-        if not s.index or axis >= len(s.index):
-            starts.append(0)
-        else:
-            starts.append(s.index[axis].start or 0)
-    return int(min(starts)) if starts else 0
-
-
 def broadcast_from_primary(values: np.ndarray) -> np.ndarray:
     """Broadcast a small host array from process 0 to every process.
 

@@ -99,18 +99,7 @@ class RatingHistory:
         self, current: str, opponents: Sequence[str], placements: Sequence[int]
     ) -> None:
         """Append one vs-pool game: placements = [current, *opponents]."""
-        self._register(current, 0)
-        for o in opponents:
-            self._register(o, 0)
-        game = {
-            "current": current,
-            "opponents": list(opponents),
-            "placements": [int(p) for p in placements],
-        }
-        self.games.append(game)
-        self._cached_ratings = None
-        with open(self.games_path, "a") as f:
-            f.write(json.dumps(game) + "\n")
+        self.record_games_batch(current, [(opponents, placements)])
 
     def record_games_batch(
         self, current: str, games: Sequence[tuple]

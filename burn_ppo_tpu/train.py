@@ -555,6 +555,10 @@ class Trainer:
             self._phase_summarize = jax.jit(
                 lambda lg: summarize_episode_logs(lg, self.num_players)
             )
+            # The unfused phase fns don't fold guard counts into their
+            # metrics like the fused step does; compute them separately
+            # so runtime_guards stays enforced in diagnostic mode too.
+            self._phase_guards = jax.jit(_guard_counts)
 
         # ---- opponent-pool stack (multiplayer only, main.rs:564-654) ----
         self.pool: Optional[Any] = None
@@ -854,6 +858,9 @@ class Trainer:
         # Windowed tracker consumes device summaries, not raw logs.
         stats = self._phase_summarize(logs)
         self.tracker.ingest(jax.device_get(stats))
+        if self.cfg.runtime_guards != "off":
+            metrics = dict(metrics)
+            metrics.update(self._phase_guards(batch))
         total = max(t3 - t0, 1e-9)
         self._phase_times = {
             "perf/rollout_time": t1 - t0,

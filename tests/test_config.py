@@ -85,6 +85,21 @@ def test_get_fixed_count_reference_parity():
     )
 
 
+def test_curriculum_milestones_fixed_count_and_roundtrip():
+    # A milestones-spelled curriculum starts at its earliest milestone's
+    # count, and the TOML round-trip (the run-dir snapshot consumed by
+    # --resume) must preserve that count exactly.
+    pc = PlayerCountMode.parse(
+        {"mode": "curriculum", "milestones": [[6, 1_000_000], [4, 0]],
+         "min_players": 4}
+    )
+    assert pc.get_fixed_count() == 4  # earliest milestone, not min default
+    rt = PlayerCountMode.parse(pc.to_toml_value())
+    assert rt.get_fixed_count() == pc.get_fixed_count()
+    assert rt.min_players == 4  # min/max/warmup survive the snapshot
+    assert rt == pc
+
+
 def test_curriculum_warmup_steps_roundtrip():
     pc = PlayerCountMode.parse(
         {"mode": "curriculum", "min_players": 2, "max_players": 6,
