@@ -87,6 +87,43 @@ class PlayerCountMode:
             return min(self.milestones, key=lambda m: m[1])[0]
         return self.min_players
 
+    def sample(self, rng, current_step: int) -> int:
+        """Sample a player count for one game (reference config.rs:683-724;
+        dead code there too — training uses get_fixed_count(), but the
+        semantics are part of the config surface).
+
+        ``rng``: random.Random. Curriculum ramps min -> max linearly over
+        warmup_steps (or walks milestones when that spelling is used)."""
+        if self.mode == "fixed":
+            return self.count
+        if self.mode == "uniform_random":
+            return rng.randint(self.min_players, self.max_players)
+        if self.mode == "weighted_random":
+            # weights[0] = P(2 players) ... weights[4] = P(6 players)
+            weights = list(self.weights) or [1.0] * 5
+            total = sum(weights)
+            r = rng.random() * total
+            acc = 0.0
+            for i, w in enumerate(weights):
+                acc += w
+                if r <= acc:
+                    return 2 + i
+            return 2 + len(weights) - 1
+        # curriculum
+        if self.milestones:
+            ms = sorted(self.milestones, key=lambda m: m[1])
+            count = ms[0][0]
+            for c, s in ms:
+                if current_step >= s:
+                    count = c
+            return count
+        if self.warmup_steps <= 0 or current_step >= self.warmup_steps:
+            return self.max_players
+        progress = current_step / self.warmup_steps
+        return self.min_players + round(
+            progress * (self.max_players - self.min_players)
+        )
+
     @staticmethod
     def parse(value: Any) -> "PlayerCountMode":
         if isinstance(value, PlayerCountMode):

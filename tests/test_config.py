@@ -100,6 +100,36 @@ def test_curriculum_milestones_fixed_count_and_roundtrip():
     assert rt == pc
 
 
+def test_player_count_sample_semantics():
+    # Reference config.rs:683-724 sample() behavior.
+    import random
+
+    rng = random.Random(0)
+    assert PlayerCountMode.parse(3).sample(rng, 0) == 3
+    pc = PlayerCountMode.parse({"type": "UniformRandom", "min": 2, "max": 4})
+    draws = {pc.sample(rng, 0) for _ in range(200)}
+    assert draws == {2, 3, 4}
+    pc = PlayerCountMode.parse(
+        {"type": "WeightedRandom", "weights": [0.0, 0.0, 1.0, 0.0, 0.0]}
+    )
+    assert all(pc.sample(rng, 0) == 4 for _ in range(20))
+    # Curriculum min/max/warmup: linear ramp, max after warmup.
+    pc = PlayerCountMode.parse(
+        {"type": "Curriculum", "min": 2, "max": 6, "warmup_steps": 100}
+    )
+    assert pc.sample(rng, 0) == 2
+    assert pc.sample(rng, 50) == 4
+    assert pc.sample(rng, 100) == 6
+    assert pc.sample(rng, 10**9) == 6
+    # Milestones spelling walks the schedule.
+    pc = PlayerCountMode.parse(
+        {"mode": "curriculum", "milestones": [[2, 0], [4, 1000], [6, 2000]]}
+    )
+    assert pc.sample(rng, 0) == 2
+    assert pc.sample(rng, 1500) == 4
+    assert pc.sample(rng, 2000) == 6
+
+
 def test_curriculum_warmup_steps_roundtrip():
     pc = PlayerCountMode.parse(
         {"mode": "curriculum", "min_players": 2, "max_players": 6,
