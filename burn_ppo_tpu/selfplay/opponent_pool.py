@@ -28,6 +28,7 @@ from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from burn_ppo_tpu.checkpoint import CheckpointManager
@@ -85,6 +86,8 @@ class OpponentPool:
         self.stats: Dict[str, OpponentStats] = {}
         self.active: List[str] = []  # current rotation's opponents (slot order)
         self._param_cache: OrderedDict = OrderedDict()
+        self._device_cache: OrderedDict = OrderedDict()  # name -> device trees
+        self._stack_memo: OrderedDict = OrderedDict()  # names tuple -> stacks
         self._cache_size = cache_size
         self._pending: Dict[str, Tuple[float, int]] = {}  # name -> (score_sum, n)
         self._recent_vs: Dict[str, List[float]] = {}  # pairwise swiss scores
@@ -162,6 +165,29 @@ class OpponentPool:
             self._param_cache.popitem(last=False)
         return entry
 
+    def _load_params_device(self, name: str):
+        """Single-process fast path: checkpoint params placed on device
+        ONCE and cached — per-rotation stacking then runs on device
+        instead of re-uploading the K-stacked host buffer every update
+        (~24MB at hidden-512 x K=8, the dominant per-update host cost
+        for pool training). Multi-host keeps host arrays: committed
+        single-device inputs don't mix with multi-process jit."""
+        entry = self._device_cache.get(name)
+        if entry is not None:
+            self._device_cache.move_to_end(name)
+            return entry
+        params, obs_norm = self._load_params(name)
+        entry = (
+            jax.tree_util.tree_map(jnp.asarray, params),
+            None
+            if obs_norm is None
+            else jax.tree_util.tree_map(jnp.asarray, obs_norm),
+        )
+        self._device_cache[name] = entry
+        while len(self._device_cache) > self._cache_size:
+            self._device_cache.popitem(last=False)
+        return entry
+
     def refresh_rotation(self) -> Optional[Tuple[Any, Any, List[str]]]:
         """Sample this rotation's opponents and stack their params.
 
@@ -170,18 +196,29 @@ class OpponentPool:
         if not self.stats:
             return None
         self.active = self.sample_active()
-        loaded = [self._load_params(n) for n in self.active]
+        names = tuple(self.active)
+        single = jax.process_count() == 1
+        memo = self._stack_memo.get(names)
+        if memo is not None:
+            self._stack_memo.move_to_end(names)
+            return memo[0], memo[1], list(names)
+        if single:
+            loaded = [self._load_params_device(n) for n in names]
+            stack = lambda *xs: jnp.stack(xs)  # device-side, no upload
+        else:
+            loaded = [self._load_params(n) for n in names]
+            stack = lambda *xs: np.stack([np.asarray(x) for x in xs])
         params_list = [p for p, _ in loaded]
         norms = [n for _, n in loaded]
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *params_list
-        )
+        stacked = jax.tree_util.tree_map(stack, *params_list)
         stacked_norm = None
         if all(n is not None for n in norms) and norms:
-            stacked_norm = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *norms
-            )
-        return stacked, stacked_norm, list(self.active)
+            stacked_norm = jax.tree_util.tree_map(stack, *norms)
+        if single:
+            self._stack_memo[names] = (stacked, stacked_norm)
+            while len(self._stack_memo) > 8:
+                self._stack_memo.popitem(last=False)
+        return stacked, stacked_norm, list(names)
 
     # ------------------------------------------------------------------
     def queue_game_result(

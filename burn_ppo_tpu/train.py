@@ -565,6 +565,7 @@ class Trainer:
         self.rating_history: Optional[Any] = None
         self.seating = None
         self._pool_steps: Dict[int, Any] = {}  # K -> jitted step
+        self._last_num_slots: Optional[int] = None
         self.num_learner_envs = self.num_envs
         if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
             # Multi-host pool discipline: every host keeps an identical
@@ -969,11 +970,14 @@ class Trainer:
                             + " ".join(parts)
                         )
                     K = len(active_names)
-                    if int(self.seating.seat_opp.max()) >= K:
-                        # remap stale slots into range after K shrank
+                    if self._last_num_slots is not None and K < self._last_num_slots:
+                        # Remap stale slots into range after K shrank.
+                        # Tracked host-side: fetching seat_opp.max() from
+                        # the device would cost a round trip per update.
                         self.seating = self.seating.replace(
                             seat_opp=self.seating.seat_opp % K
                         )
+                    self._last_num_slots = K
                     step_fn = self._get_pool_step(K)
                     (
                         self.state, self.seating, metrics, learner_stats,
