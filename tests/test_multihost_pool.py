@@ -184,6 +184,68 @@ def test_batch_queue_matches_scalar_queue(tmp_path):
         assert batch._recent_vs.get(n) == scalar._recent_vs.get(n)
 
 
+def test_device_cached_rotation_matches_host_stacking(tmp_path):
+    """The single-process device-cached rotation must produce the same
+    stacked parameters as the multi-host host-array path, and the memo
+    must pick up newly added checkpoints (names are step-unique)."""
+    import jax
+    import numpy as np_
+
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.models.network import ActorCriticNetwork
+
+    run = tmp_path / "run"
+    (run / "checkpoints").mkdir(parents=True)
+    net = ActorCriticNetwork(
+        network_type="mlp", obs_dim=5, action_count=2,
+        hidden_size=8, num_hidden=1,
+    )
+    mgr = CheckpointManager(run)
+    for i, step in enumerate((100, 200)):
+        params = net.init(jax.random.PRNGKey(i))
+        meta = build_metadata(
+            step=step, env_name="cartpole", network=net, num_players=1,
+            avg_return=0.0, best_avg_return=None, recent_returns=[],
+            forked_from=None, rng_seed=0, normalize_obs=False,
+            normalize_values=False, exploitability_vs_pool=None,
+        )
+        mgr.save(step, params, {"dummy": np_.zeros(1)}, {}, meta)
+
+    pool = OpponentPool(run, max_active=2, seed=1)
+    dev_stack, dev_norm, names = pool.refresh_rotation()
+
+    pool2 = OpponentPool(run, max_active=2, seed=1)
+    host_loaded = [pool2._load_params(n) for n in names]
+    host_stack = jax.tree_util.tree_map(
+        lambda *xs: np_.stack([np_.asarray(x) for x in xs]),
+        *[p for p, _ in host_loaded],
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dev_stack),
+        jax.tree_util.tree_leaves(host_stack),
+    ):
+        np_.testing.assert_array_equal(np_.asarray(a), b)
+
+    # Memoized repeat returns the identical stacked objects.
+    again = pool.refresh_rotation()
+    if list(again[2]) == names:  # same sample -> memo hit
+        assert jax.tree_util.tree_leaves(again[0])[0] is (
+            jax.tree_util.tree_leaves(dev_stack)[0]
+        )
+    # A new checkpoint changes the candidate set; rotation still works.
+    params = net.init(jax.random.PRNGKey(9))
+    meta = build_metadata(
+        step=300, env_name="cartpole", network=net, num_players=1,
+        avg_return=0.0, best_avg_return=None, recent_returns=[],
+        forked_from=None, rng_seed=0, normalize_obs=False,
+        normalize_values=False, exploitability_vs_pool=None,
+    )
+    mgr.save(300, params, {"dummy": np_.zeros(1)}, {}, meta)
+    pool.add_checkpoint("step_00000300", 300)
+    s3, _, names3 = pool.refresh_rotation()
+    assert jax.tree_util.tree_leaves(s3)[0].shape[0] == 2
+
+
 # ---------------------------------------------------------------------------
 # REAL 2-process e2e: skull CTDE + pool under jax.distributed (Gloo/CPU)
 # ---------------------------------------------------------------------------
