@@ -92,6 +92,13 @@ def _add_train_parser(sub):
     p.add_argument("--network-type", choices=["mlp", "cnn", "ctde"])
     p.add_argument("--critic-hidden-size", type=int)
     p.add_argument("--critic-num-hidden", type=int)
+    p.add_argument("--num-conv-layers", type=int)
+    p.add_argument("--kernel-size", type=int)
+    p.add_argument("--cnn-fc-hidden-size", type=int)
+    p.add_argument("--cnn-num-fc-layers", type=int)
+    p.add_argument("--adaptive-entropy-min-coef", type=float)
+    p.add_argument("--adaptive-entropy-max-coef", type=float)
+    p.add_argument("--adaptive-entropy-delta", type=float)
     p.add_argument("--checkpoint-freq", type=int)
     p.add_argument("--log-freq", type=int)
     p.add_argument("--opponent-pool-fraction", type=float)
@@ -183,6 +190,9 @@ TRAIN_OVERRIDE_KEYS = [
     "total_steps", "max_training_time", "num_epochs", "num_minibatches",
     "adam_epsilon", "seed", "hidden_size", "num_hidden", "activation",
     "network_type", "critic_hidden_size", "critic_num_hidden",
+    "num_conv_layers", "kernel_size", "cnn_fc_hidden_size",
+    "cnn_num_fc_layers", "adaptive_entropy_min_coef",
+    "adaptive_entropy_max_coef", "adaptive_entropy_delta",
     "checkpoint_freq", "log_freq", "opponent_pool_fraction",
     "opponent_select_alpha", "opponent_select_exponent", "compute_dtype",
     "mesh_data", "shuffle_block_rows", "normalize_obs", "normalize_returns",
