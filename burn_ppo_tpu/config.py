@@ -102,11 +102,16 @@ class PlayerCountMode:
             # weights[0] = P(2 players) ... weights[4] = P(6 players)
             weights = list(self.weights) or [1.0] * 5
             total = sum(weights)
+            if total <= 0:
+                # Reference panics on invalid weights (WeightedIndex::new).
+                raise ValueError("Invalid weights for PlayerCountMode")
             r = rng.random() * total
             acc = 0.0
             for i, w in enumerate(weights):
                 acc += w
-                if r <= acc:
+                # Strict '<': first cumulative > r, so zero-weight counts
+                # are unreachable (reference WeightedIndex semantics).
+                if r < acc:
                     return 2 + i
             return 2 + len(weights) - 1
         # curriculum
@@ -120,8 +125,12 @@ class PlayerCountMode:
         if self.warmup_steps <= 0 or current_step >= self.warmup_steps:
             return self.max_players
         progress = current_step / self.warmup_steps
-        return self.min_players + round(
-            progress * (self.max_players - self.min_players)
+        # Half-away-from-zero like Rust f32::round (config.rs:716-722);
+        # Python's round() is banker's and would differ at exact halves.
+        import math
+
+        return self.min_players + math.floor(
+            progress * (self.max_players - self.min_players) + 0.5
         )
 
     @staticmethod

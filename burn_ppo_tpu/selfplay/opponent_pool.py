@@ -85,9 +85,8 @@ class OpponentPool:
         self.max_active = max_active
         self.stats: Dict[str, OpponentStats] = {}
         self.active: List[str] = []  # current rotation's opponents (slot order)
-        self._param_cache: OrderedDict = OrderedDict()
+        self._param_cache: OrderedDict = OrderedDict()  # multi-host (np)
         self._device_cache: OrderedDict = OrderedDict()  # name -> device trees
-        self._stack_memo: OrderedDict = OrderedDict()  # names tuple -> stacks
         self._cache_size = cache_size
         self._pending: Dict[str, Tuple[float, int]] = {}  # name -> (score_sum, n)
         self._recent_vs: Dict[str, List[float]] = {}  # pairwise swiss scores
@@ -171,12 +170,17 @@ class OpponentPool:
         instead of re-uploading the K-stacked host buffer every update
         (~24MB at hidden-512 x K=8, the dominant per-update host cost
         for pool training). Multi-host keeps host arrays: committed
-        single-device inputs don't mix with multi-process jit."""
+        single-device inputs don't mix with multi-process jit.
+
+        Loads from disk directly (not via _load_params) so the host-RAM
+        LRU doesn't retain a redundant copy this path never reads."""
         entry = self._device_cache.get(name)
         if entry is not None:
             self._device_cache.move_to_end(name)
             return entry
-        params, obs_norm = self._load_params(name)
+        path = self.ckpt_dir / name
+        _network, params, _meta = CheckpointManager.load_model(path)
+        obs_norm = CheckpointManager.load_obs_normalizer(path)
         entry = (
             jax.tree_util.tree_map(jnp.asarray, params),
             None
@@ -197,12 +201,7 @@ class OpponentPool:
             return None
         self.active = self.sample_active()
         names = tuple(self.active)
-        single = jax.process_count() == 1
-        memo = self._stack_memo.get(names)
-        if memo is not None:
-            self._stack_memo.move_to_end(names)
-            return memo[0], memo[1], list(names)
-        if single:
+        if jax.process_count() == 1:
             loaded = [self._load_params_device(n) for n in names]
             stack = lambda *xs: jnp.stack(xs)  # device-side, no upload
         else:
@@ -214,10 +213,6 @@ class OpponentPool:
         stacked_norm = None
         if all(n is not None for n in norms) and norms:
             stacked_norm = jax.tree_util.tree_map(stack, *norms)
-        if single:
-            self._stack_memo[names] = (stacked, stacked_norm)
-            while len(self._stack_memo) > 8:
-                self._stack_memo.popitem(last=False)
         return stacked, stacked_norm, list(names)
 
     # ------------------------------------------------------------------

@@ -113,6 +113,11 @@ def test_player_count_sample_semantics():
         {"type": "WeightedRandom", "weights": [0.0, 0.0, 1.0, 0.0, 0.0]}
     )
     assert all(pc.sample(rng, 0) == 4 for _ in range(20))
+    # All-zero weights panic in the reference (WeightedIndex::new).
+    with pytest.raises(ValueError):
+        PlayerCountMode.parse(
+            {"type": "WeightedRandom", "weights": [0.0] * 5}
+        ).sample(rng, 0)
     # Curriculum min/max/warmup: linear ramp, max after warmup.
     pc = PlayerCountMode.parse(
         {"type": "Curriculum", "min": 2, "max": 6, "warmup_steps": 100}
@@ -121,6 +126,12 @@ def test_player_count_sample_semantics():
     assert pc.sample(rng, 50) == 4
     assert pc.sample(rng, 100) == 6
     assert pc.sample(rng, 10**9) == 6
+    # Exact-half progress rounds AWAY from zero like Rust f32::round
+    # (config.rs:716-722), not banker's: progress 1/8 * range 4 = 0.5.
+    pc8 = PlayerCountMode.parse(
+        {"type": "Curriculum", "min": 2, "max": 6, "warmup_steps": 8}
+    )
+    assert pc8.sample(rng, 1) == 3  # 2 + round(0.5) = 3, not 2
     # Milestones spelling walks the schedule.
     pc = PlayerCountMode.parse(
         {"mode": "curriculum", "milestones": [[2, 0], [4, 1000], [6, 2000]]}

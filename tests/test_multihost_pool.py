@@ -226,12 +226,6 @@ def test_device_cached_rotation_matches_host_stacking(tmp_path):
     ):
         np_.testing.assert_array_equal(np_.asarray(a), b)
 
-    # Memoized repeat returns the identical stacked objects.
-    again = pool.refresh_rotation()
-    if list(again[2]) == names:  # same sample -> memo hit
-        assert jax.tree_util.tree_leaves(again[0])[0] is (
-            jax.tree_util.tree_leaves(dev_stack)[0]
-        )
     # A new checkpoint changes the candidate set; rotation still works.
     params = net.init(jax.random.PRNGKey(9))
     meta = build_metadata(
