@@ -894,15 +894,20 @@ class Trainer:
             quiet=self.quiet,
         )
         interrupted = {"flag": False}
-        prev_handler = None
+        prev_handlers: Dict[int, Any] = {}
 
-        def _on_sigint(sig, frame):
+        def _on_interrupt(sig, frame):
             interrupted["flag"] = True
 
-        try:
-            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
-        except ValueError:
-            pass  # non-main thread (tests)
+        # SIGINT = Ctrl-C (reference ctrlc_handler, main.rs:2027);
+        # SIGTERM = TPU-pod preemption notice — same graceful exit: break
+        # at the next update boundary, save a final checkpoint, resume
+        # later with --resume (the preemption-recovery path, SURVEY §5).
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_interrupt)
+            except ValueError:
+                pass  # non-main thread (tests)
 
         last_metrics: Dict[str, float] = {}
         next_log = self.global_step + cfg.log_freq
@@ -1104,9 +1109,9 @@ class Trainer:
             else:
                 progress.finish("training complete")
         finally:
-            if prev_handler is not None:
+            for sig, handler in prev_handlers.items():
                 try:
-                    signal.signal(signal.SIGINT, prev_handler)
+                    signal.signal(sig, handler)
                 except ValueError:
                     pass
             if self.trace_capture is not None:

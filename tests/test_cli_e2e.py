@@ -238,6 +238,53 @@ def test_ctde_eval_cli(ctde_run):
     assert "Results over" in r.stdout
 
 
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """SIGTERM (pod preemption notice) triggers the same graceful exit
+    as Ctrl-C: finish the update, write a final checkpoint, exit 0 —
+    so --resume recovers the run."""
+    import signal as _signal
+    import time as _time
+
+    cfgp = write_tiny_config(
+        tmp_path / "tiny.toml", total_steps=10_000_000, checkpoint_freq=64,
+        log_freq=16,
+    )
+    run_dir = tmp_path / "sig"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "burn_ppo_tpu", "train",
+            "-c", str(cfgp), "--run-dir", str(run_dir), "--quiet",
+        ],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # Wait until training is demonstrably under way.
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if (run_dir / "metrics.jsonl").exists() and (
+                run_dir / "metrics.jsonl"
+            ).stat().st_size > 200:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(proc.communicate()[0][-2000:])
+            _time.sleep(1)
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    latest = run_dir / "checkpoints" / "latest"
+    assert latest.exists()
+    meta = json.loads((latest.resolve() / "metadata.json").read_text())
+    assert meta["step"] > 0
+    assert meta["step"] < 10_000_000  # stopped early, gracefully
+
+
 def test_supervisor_reload_cli(tmp_path):
     cfgp = write_tiny_config(tmp_path / "tiny.toml")
     run_dir = tmp_path / "suprun"
