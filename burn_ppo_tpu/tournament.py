@@ -524,6 +524,9 @@ def run_tournament(
         range(n),
         key=lambda i: (-contestants[i].swiss_points, -result.ratings[i].rating),
     )
+    # RankingEntry field names match the reference's serialized schema
+    # (tournament.rs:186-201, build_results 1695-1740) so consumers of
+    # the reference's JSON find the same keys; "step"/"games" are extras.
     rows = []
     for rank, i in enumerate(standings, 1):
         c = contestants[i]
@@ -532,13 +535,17 @@ def run_tournament(
             {
                 "rank": rank,
                 "name": c.name,
+                "source": str(c.path) if c.path is not None else None,
                 "step": c.step,
                 "swiss_points": round(c.swiss_points, 2),
                 "games": c.games_played,
+                "games_played": c.games_played,
                 "rating": round(r.rating, 1),
                 "uncertainty": round(r.uncertainty, 1),
-                "placements": c.placement_counts,
-                "draws": c.draw_count,
+                "rating_low": round(r.rating - 2.0 * r.uncertainty, 1),
+                "rating_high": round(r.rating + 2.0 * r.uncertainty, 1),
+                "placement_counts": c.placement_counts,
+                "draw_count": c.draw_count,
             }
         )
 
@@ -554,15 +561,27 @@ def run_tournament(
             )
         print_rating_guide()
 
+    import datetime
+
     results = {
         "env": meta["env_name"],
+        "environment": meta["env_name"],  # reference key (tournament.rs:223)
         "num_players": pod_size,
         "format": "swiss" if use_swiss else "round_robin",
         "rounds": num_rounds,
         "total_games": len(all_games),
+        "rankings": rows,  # reference key (tournament.rs:220)
         "standings": rows,
         "pods": pods_log,
         "converged": result.stats.converged,
+        "config": {
+            "num_games_per_matchup": num_games,
+            "num_rounds": num_rounds,
+            "format": "swiss" if use_swiss else "round_robin",
+            **({"temp": temp} if temp is not None else {}),
+            **({"seed": seed} if seed is not None else {}),
+        },
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
     }
     if output:
         Path(output).write_text(json.dumps(results, indent=2))
