@@ -66,11 +66,17 @@ def rollout_random(env, steps, seed, num_envs=16):
 
 @pytest.mark.parametrize("name,players", ENVS)
 def test_env_invariants_under_random_play(name, players):
+    import zlib
+
     env = make_env(name)
     if players is not None:
         env = env.with_num_players(players)
     P = env.spec.num_players
-    outs = rollout_random(env, steps=160, seed=hash(name) % 1000 + (players or 0))
+    # Deterministic seed (hash() is per-process salted => flaky seeds);
+    # high-player-count skull needs more random steps to finish a game.
+    seed = zlib.crc32(name.encode()) % 1000 + (players or 0)
+    steps = 512 if (name == "skull" and (players or 0) >= 5) else 160
+    outs = rollout_random(env, steps=steps, seed=seed)
 
     # 1. A live (pre-step) state always offers at least one legal action.
     assert outs["mask_any"].all(), f"{name}: empty action mask on live state"
