@@ -738,9 +738,21 @@ class Trainer:
             if snap.total_games > 0 and self.ckpt.step_dir(snap.best_step).exists():
                 self.ckpt.set_best(snap.best_step)
             self.rating_history.generate_graph(self.run_dir / "elo_graph.png")
-            self.pool.generate_selection_graph(
-                self.run_dir / "selection_probability.png"
-            )
+            # Per-checkpoint graph + run-root symlink to the newest one
+            # (reference opponent_pool.rs:741-891 writes/links the same).
+            if self.pool.generate_selection_graph(
+                path / "selection_probability.png"
+            ):
+                from burn_ppo_tpu.checkpoint import _atomic_symlink
+
+                _atomic_symlink(
+                    self.run_dir / "selection_probability.png",
+                    str(
+                        Path("checkpoints")
+                        / path.name
+                        / "selection_probability.png"
+                    ),
+                )
         return path
 
     def _best_ckpt_name(self) -> Optional[str]:
