@@ -45,31 +45,40 @@ def sample_categorical(key: jax.Array, logits: jax.Array) -> jax.Array:
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-def log_prob_categorical(logits: jax.Array, actions: jax.Array) -> jax.Array:
-    """log pi(a|s) for taken actions. logits [..., A], actions [...] int.
+def log_prob_from_logp(logp: jax.Array, actions: jax.Array) -> jax.Array:
+    """Select log pi(a|s) from a precomputed log-softmax.
 
     The selection is a one-hot contraction, not take_along_axis: TPU
     gathers cost ~12.5ns per index, so a per-row gather over millions of
     update samples costs tens of ms, while the A-wide multiply-sum fuses
     into the surrounding elementwise pass for free.
+    ``where()`` keeps -inf-masked rows finite: (-inf * 0.0) would be NaN.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    onehot = jax.nn.one_hot(actions, logits.shape[-1], dtype=logp.dtype)
-    # where() keeps -inf-masked rows finite: (-inf * 0.0) would be NaN.
+    onehot = jax.nn.one_hot(actions, logp.shape[-1], dtype=logp.dtype)
     return jnp.sum(jnp.where(onehot > 0, logp, 0.0), axis=-1)
 
 
-def entropy_categorical(logits: jax.Array) -> jax.Array:
-    """Entropy of the categorical distribution per row.
+def entropy_from_logp(logp: jax.Array) -> jax.Array:
+    """Entropy per row from a precomputed log-softmax.
 
     Probabilities are derived from the log-softmax (single pass), matching
     the reference optimization (utils.rs:52-58). Masked actions contribute
     exactly 0 because p == 0.0 there and ``where`` removes the -inf-like
-    log term.
+    log term. Callers that need BOTH the log-prob and the entropy share
+    one log_softmax by pairing this with ``log_prob_from_logp``.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
     return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
+
+
+def log_prob_categorical(logits: jax.Array, actions: jax.Array) -> jax.Array:
+    """log pi(a|s) for taken actions. logits [..., A], actions [...] int."""
+    return log_prob_from_logp(jax.nn.log_softmax(logits, axis=-1), actions)
+
+
+def entropy_categorical(logits: jax.Array) -> jax.Array:
+    """Entropy of the categorical distribution per row."""
+    return entropy_from_logp(jax.nn.log_softmax(logits, axis=-1))
 
 
 def sample_with_temperature(

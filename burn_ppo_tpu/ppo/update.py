@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import optax
 
 from burn_ppo_tpu.models.network import ActorCriticNetwork
-from burn_ppo_tpu.ops.categorical import apply_action_mask
+from burn_ppo_tpu.ops.categorical import (
+    apply_action_mask,
+    entropy_from_logp,
+    log_prob_from_logp,
+)
 from burn_ppo_tpu.ops.gae import compute_explained_variance
 from burn_ppo_tpu.ppo.normalization import (
     PopArtState,
@@ -131,12 +135,8 @@ def _minibatch_loss(
     # ONE log_softmax shared by the log-prob selection and the entropy
     # (log_prob_categorical + entropy_categorical would each compute it).
     logp = jax.nn.log_softmax(masked_logits, axis=-1)
-    onehot = jax.nn.one_hot(
-        mb["actions"], masked_logits.shape[-1], dtype=logp.dtype
-    )
-    new_log_probs = jnp.sum(jnp.where(onehot > 0, logp, 0.0), axis=-1)
-    p = jnp.exp(logp)
-    entropy = -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
+    new_log_probs = log_prob_from_logp(logp, mb["actions"])
+    entropy = entropy_from_logp(logp)
 
     log_ratio = new_log_probs - mb["old_log_probs"]
     ratio = jnp.exp(log_ratio)

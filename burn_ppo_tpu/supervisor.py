@@ -99,10 +99,37 @@ class TrainingSupervisor:
         return step is not None and step >= self.total_steps
 
     def run(self) -> int:
-        """Spawn-and-wait loop (supervisor.rs:102-153)."""
+        """Spawn-and-wait loop (supervisor.rs:102-153).
+
+        SIGTERM (pod preemption) forwards to the child and STOPS the
+        respawn loop — the child checkpoints and exits 0, and without
+        the stop flag the loop would immediately respawn it, making a
+        supervised run unstoppable by SIGTERM."""
         start = time.time()
         first = True
+        terminated = {"flag": False}
+
+        def _on_term(sig, frame):
+            terminated["flag"] = True
+
+        prev_term = None
+        try:
+            prev_term = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # non-main thread (tests)
+        try:
+            return self._run_loop(start, first, terminated)
+        finally:
+            if prev_term is not None:
+                try:
+                    signal.signal(signal.SIGTERM, prev_term)
+                except ValueError:
+                    pass
+
+    def _run_loop(self, start, first, terminated) -> int:
         for restart in range(self.max_restarts):
+            if terminated["flag"]:
+                return 0
             if self.is_training_complete():
                 if not self.quiet:
                     print(f"supervisor: training complete at step {self.latest_step()}")
@@ -126,7 +153,26 @@ class TrainingSupervisor:
                 print(f"supervisor: spawn #{restart + 1}: {' '.join(cmd)}")
             proc = subprocess.Popen(cmd)
             try:
-                rc = proc.wait()
+                while True:
+                    try:
+                        rc = proc.wait(timeout=1)
+                        break
+                    except subprocess.TimeoutExpired:
+                        if terminated["flag"]:
+                            # Forward the preemption notice; the child
+                            # writes a final checkpoint and exits 0.
+                            proc.send_signal(signal.SIGTERM)
+                            try:
+                                rc = proc.wait(timeout=120)
+                            except subprocess.TimeoutExpired:
+                                proc.kill()
+                                rc = -signal.SIGKILL
+                            if not self.quiet:
+                                print(
+                                    "supervisor: SIGTERM — child "
+                                    f"checkpointed and exited rc={rc}"
+                                )
+                            return 0 if rc == 0 else 1
             except KeyboardInterrupt:
                 proc.send_signal(signal.SIGINT)
                 try:

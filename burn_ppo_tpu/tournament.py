@@ -520,9 +520,14 @@ def run_tournament(
     anchor = find_anchor_index(contestants)
     result = pl_compute_ratings(n, all_games, anchor, PlackettLuceConfig())
 
+    # Reference tiebreaker for equal Swiss points: initial_seed
+    # (tournament.rs:1704-1715), not rating.
     standings = sorted(
         range(n),
-        key=lambda i: (-contestants[i].swiss_points, -result.ratings[i].rating),
+        key=lambda i: (
+            -contestants[i].swiss_points,
+            -contestants[i].initial_seed,
+        ),
     )
     # RankingEntry field names match the reference's serialized schema
     # (tournament.rs:186-201, build_results 1695-1740) so consumers of
@@ -535,7 +540,9 @@ def run_tournament(
             {
                 "rank": rank,
                 "name": c.name,
-                "source": str(c.path) if c.path is not None else None,
+                # reference omits the key for non-checkpoint sources
+                # (serde skip_serializing_if, tournament.rs:189-190)
+                **({"source": str(c.path)} if c.path is not None else {}),
                 "step": c.step,
                 "swiss_points": round(c.swiss_points, 2),
                 "games": c.games_played,

@@ -1122,6 +1122,10 @@ class Trainer:
                 progress.finish("training complete")
         finally:
             for sig, handler in prev_handlers.items():
+                if handler is None:
+                    # Previous handler installed outside Python (C ext);
+                    # signal.signal(sig, None) would raise TypeError.
+                    continue
                 try:
                     signal.signal(sig, handler)
                 except ValueError:

@@ -262,12 +262,13 @@ def test_sigterm_graceful_checkpoint(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
-        # Wait until training is demonstrably under way.
+        # Wait until training is demonstrably under way: a SCALAR metrics
+        # row proves an update completed (the startup hparams line alone
+        # would leave a step==0 window where SIGTERM checkpoints step 0).
         deadline = _time.time() + 300
         while _time.time() < deadline:
-            if (run_dir / "metrics.jsonl").exists() and (
-                run_dir / "metrics.jsonl"
-            ).stat().st_size > 200:
+            mpath = run_dir / "metrics.jsonl"
+            if mpath.exists() and '"type": "scalar"' in mpath.read_text():
                 break
             if proc.poll() is not None:
                 raise AssertionError(proc.communicate()[0][-2000:])
@@ -283,6 +284,51 @@ def test_sigterm_graceful_checkpoint(tmp_path):
     meta = json.loads((latest.resolve() / "metadata.json").read_text())
     assert meta["step"] > 0
     assert meta["step"] < 10_000_000  # stopped early, gracefully
+
+
+def test_supervisor_forwards_sigterm(tmp_path):
+    """SIGTERM to the SUPERVISOR forwards to the child (final checkpoint)
+    and stops the respawn loop instead of immediately respawning."""
+    import signal as _signal
+    import time as _time
+
+    cfgp = write_tiny_config(
+        tmp_path / "tiny.toml", total_steps=10_000_000, checkpoint_freq=64,
+        log_freq=16,
+    )
+    run_dir = tmp_path / "sup"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "burn_ppo_tpu", "train",
+            "-c", str(cfgp), "--run-dir", str(run_dir),
+            "--reload-every-n-checkpoints", "100", "--quiet",
+        ],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            mpath = run_dir / "metrics.jsonl"
+            if mpath.exists() and '"type": "scalar"' in mpath.read_text():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(proc.communicate()[0][-2000:])
+            _time.sleep(1)
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    meta = json.loads(
+        (run_dir / "checkpoints" / "latest").resolve()
+        .joinpath("metadata.json").read_text()
+    )
+    assert 0 < meta["step"] < 10_000_000
 
 
 def test_supervisor_reload_cli(tmp_path):

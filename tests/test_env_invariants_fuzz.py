@@ -88,7 +88,7 @@ def test_env_invariants_under_random_play(name, players):
     assert np.isfinite(outs["rewards"]).all()
 
     completed = outs["completed"]
-    assert completed.any(), f"{name}: no episode finished in 160 steps"
+    assert completed.any(), f"{name}: no episode finished in {steps} steps"
     # 5. Placements at completion are a valid '1224' competition ranking:
     #    within 1..P, at least one winner, and consistent tie counts
     #    (place p is held by exactly (number of strictly-better players)+1).

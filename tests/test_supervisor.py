@@ -103,7 +103,7 @@ def test_respawn_uses_resume_and_offsets(tmp_path, monkeypatch):
             step = 50 if len(spawned) == 1 else 100
             write_latest(tmp_path, step)
 
-        def wait(self):
+        def wait(self, timeout=None):
             return 0
 
     monkeypatch.setattr(
