@@ -127,3 +127,24 @@ def test_host_local_slice_cross_axis_sharding_rejected(monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     with pytest.raises(ValueError, match="another dimension"):
         dist.host_local_slice(xs, axis=1)
+
+
+def test_broadcast_from_primary_single_process_identity():
+    import numpy as np
+
+    v = np.asarray([3, 7], np.int32)
+    out = dist.broadcast_from_primary(v)
+    np.testing.assert_array_equal(out, v)
+
+
+def test_barrier_single_process_noop():
+    dist.barrier("test")  # must not raise or block
+
+
+def test_allgather_rows_reshapes_flat_input():
+    import numpy as np
+
+    flat = np.arange(6, dtype=np.int64)  # wrong dtype + flat on purpose
+    out = dist.allgather_rows(flat, 3)
+    assert out.dtype == np.int32
+    assert out.shape == (2, 3)
