@@ -104,6 +104,11 @@ def _add_train_parser(sub):
     p.add_argument("--opponent-pool-fraction", type=float)
     p.add_argument("--opponent-select-alpha", type=float)
     p.add_argument("--opponent-select-exponent", type=float)
+    p.add_argument("--pool-rotation-interval", type=int,
+                   help="PPO updates per opponent rotation (1 = reference "
+                        "per-update cadence; >1 fuses that many vs-pool "
+                        "updates into one device window)")
+    p.add_argument("--max-active-opponents", type=int)
     p.add_argument("--players", type=int, help="Fixed player count (variable-count games)")
     p.add_argument("--compute-dtype", choices=["bfloat16"])
     p.add_argument("--mesh-data", type=int, help="Data-parallel mesh size (0 = all devices)")
@@ -194,7 +199,8 @@ TRAIN_OVERRIDE_KEYS = [
     "cnn_num_fc_layers", "adaptive_entropy_min_coef",
     "adaptive_entropy_max_coef", "adaptive_entropy_delta",
     "checkpoint_freq", "log_freq", "opponent_pool_fraction",
-    "opponent_select_alpha", "opponent_select_exponent", "compute_dtype",
+    "opponent_select_alpha", "opponent_select_exponent",
+    "pool_rotation_interval", "max_active_opponents", "compute_dtype",
     "mesh_data", "shuffle_block_rows", "normalize_obs", "normalize_returns",
     "normalize_values", "clip_value", "split_networks", "debug_opponents",
 ]

@@ -247,6 +247,14 @@ class Config:
     # TPU addition: opponents kept device-resident per rotation (stacked
     # params); the reference lazily loads/unloads models per rotation.
     max_active_opponents: int = 8
+    # TPU addition: PPO updates per opponent rotation. 1 = the
+    # reference's exact per-update cadence (opponent_pool.rs:233-246);
+    # W > 1 fuses W vs-pool updates into one device window — the
+    # rotation and the win-rate EMA / rating folds then run once per
+    # window instead of once per update (a documented cadence deviation;
+    # the EMA sees the same games, batched coarser). Essential on
+    # tunneled/multi-host setups where per-update dispatch dominates.
+    pool_rotation_interval: int = 1
 
     # Experiment
     seed: Optional[int] = None
@@ -322,6 +330,8 @@ class Config:
             errors.append("num_epochs and num_minibatches must be > 0")
         if not 0.0 <= self.opponent_pool_fraction <= 1.0:
             errors.append("opponent_pool_fraction must be in [0, 1]")
+        if self.pool_rotation_interval < 1:
+            errors.append("pool_rotation_interval must be >= 1")
         if self.learning_rate.initial_value() <= 0:
             errors.append("learning_rate must be > 0")
         if self.max_training_time is not None:

@@ -4,8 +4,18 @@ Bang-bang control steering the policy entropy toward a scheduled target
 expressed as a ratio of max entropy ln(A). Behavioral parity with the
 reference (src/entropy.rs:14-105): coefficient moves by +/-delta in the
 direction of (target - last_entropy), clamped to [min, max]; no
-adjustment until the first entropy observation. Host-side (runs once per
-update), so plain Python.
+adjustment until the first entropy observation.
+
+Two implementations with identical semantics (equivalence-tested in
+tests/test_entropy.py):
+
+- ``AdaptiveEntropyController`` — host-side Python, used by the unfused
+  phase-profiling diagnostic path (one update per host call).
+- ``AdaptiveEntropyState`` + ``adaptive_entropy_step/record`` — device
+  pytree state updated INSIDE the fused train step, so adaptive-entropy
+  runs keep the K-update device windows (the controller is three
+  arithmetic ops; keeping it host-side forced per-update dispatch).
+  Only the scheduled target crosses the host boundary, once per window.
 """
 
 from __future__ import annotations
@@ -13,7 +23,55 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
+import jax
+import jax.numpy as jnp
+from flax import struct
+
 from burn_ppo_tpu.schedule import Schedule
+
+
+class AdaptiveEntropyState(struct.PyTreeNode):
+    """Device-resident controller state (entropy.rs:14-30 fields)."""
+
+    coef: jax.Array  # f32 scalar, current coefficient
+    last_entropy: jax.Array  # f32 scalar, most recent observed entropy
+    has_entropy: jax.Array  # bool scalar; no adjustment until first obs
+
+    @staticmethod
+    def create(initial_coef: float) -> "AdaptiveEntropyState":
+        return AdaptiveEntropyState(
+            coef=jnp.asarray(initial_coef, jnp.float32),
+            last_entropy=jnp.asarray(0.0, jnp.float32),
+            has_entropy=jnp.asarray(False),
+        )
+
+
+def adaptive_entropy_step(
+    state: AdaptiveEntropyState,
+    target: jax.Array,
+    min_coef: float,
+    max_coef: float,
+    delta: float,
+) -> Tuple[jax.Array, AdaptiveEntropyState]:
+    """Device analog of ``get_coefficient`` (entropy.rs:73-87).
+
+    Returns (coefficient to use for this update, state with it stored).
+    jnp.sign(0.0) == 0.0 matches the reference's explicit zero-error
+    branch."""
+    error = target - state.last_entropy
+    adjusted = jnp.clip(state.coef + delta * jnp.sign(error), min_coef, max_coef)
+    coef = jnp.where(state.has_entropy, adjusted, state.coef)
+    return coef, state.replace(coef=coef)
+
+
+def adaptive_entropy_record(
+    state: AdaptiveEntropyState, entropy: jax.Array
+) -> AdaptiveEntropyState:
+    """Device analog of ``record_entropy`` (entropy.rs:62)."""
+    return state.replace(
+        last_entropy=jnp.asarray(entropy, jnp.float32),
+        has_entropy=jnp.asarray(True),
+    )
 
 
 class AdaptiveEntropyController:

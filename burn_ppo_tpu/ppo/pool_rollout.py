@@ -111,8 +111,8 @@ def collect_rollouts_with_opponents(
     v_mask = jax.vmap(env.action_mask)
     v_priv = jax.vmap(env.privileged_obs) if collect_priv else None
 
-    def opponent_actions(obs_raw_pool, mask_pool, key):
-        """Actions for pool envs from stacked opponents. [Ep]"""
+    def opponent_logits(obs_raw_pool):
+        """Stacked-opponent policy logits for the pool envs. [K, Ep, A]"""
 
         def one_opponent(p, norm):
             obs = obs_raw_pool
@@ -156,7 +156,7 @@ def collect_rollouts_with_opponents(
         # Opponent forward on the pool block only. Selections are one-hot
         # contractions (TPU gathers pay ~12.5ns per index).
         if Ep > 0:
-            logits_k = opponent_actions(obs_raw[L:], mask[L:], k_opp)  # [K,Ep,A]
+            logits_k = opponent_logits(obs_raw[L:])  # [K, Ep, A]
             acting_slot = jnp.sum(
                 seat.seat_opp[L:].astype(values.dtype) * onehot[L:], axis=1
             ).astype(jnp.int32)  # [Ep]

@@ -66,6 +66,10 @@ class TrainState(struct.PyTreeNode):
     obs_norm: Optional[ObsNormState]
     popart: Optional[PopArtState]
     update_key: jax.Array
+    # Device-resident adaptive-entropy controller state (None unless
+    # cfg.adaptive_entropy is set); updated inside the fused step so
+    # adaptive runs keep K-update windows (entropy.rs:62-105 semantics).
+    ent_state: Optional[Any] = None
 
 
 def build_network_for_env(env: Environment, cfg: Config) -> ActorCriticNetwork:
@@ -171,6 +175,7 @@ def _apply_update(network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_co
     new_state = TrainState(
         params=params, opt_state=opt_state, carry=carry,
         obs_norm=obs_norm_new, popart=popart, update_key=key,
+        ent_state=state.ent_state,
     )
     return new_state, metrics
 
@@ -204,11 +209,37 @@ GUARD_METRIC_KEYS = ("invalid_mask_count", "nonfinite_count")
 
 def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
     """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
-    flatten, PPO update. Returns (new_state, metrics)."""
+    flatten, PPO update. Returns (new_state, metrics).
+
+    With adaptive entropy configured, ``ent_coef`` is the scheduled
+    TARGET entropy; the coefficient is derived on device from
+    ``state.ent_state`` and the realized entropy is recorded back —
+    reference get_coefficient/record_entropy cadence (entropy.rs:62-87)
+    without leaving the fused step."""
+    adaptive = cfg.adaptive_entropy is not None
+    if adaptive:
+        from burn_ppo_tpu.ppo.entropy import (
+            adaptive_entropy_record,
+            adaptive_entropy_step,
+        )
+
+        ent_coef, ent_state = adaptive_entropy_step(
+            state.ent_state, ent_coef,
+            cfg.adaptive_entropy_min_coef, cfg.adaptive_entropy_max_coef,
+            cfg.adaptive_entropy_delta,
+        )
+        state = state.replace(ent_state=ent_state)
     obs_norm_new, data = _prepare_update(network, env, cfg, state, carry, batch)
     new_state, metrics = _apply_update(
         network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef
     )
+    if adaptive:
+        new_state = new_state.replace(
+            ent_state=adaptive_entropy_record(
+                new_state.ent_state, metrics["entropy"]
+            )
+        )
+        metrics["adaptive_ent_coef"] = ent_coef
     if cfg.runtime_guards != "off":
         metrics.update(_guard_counts(batch))
     return new_state, metrics
@@ -297,6 +328,20 @@ def make_train_window(
     return window
 
 
+class PoolRecordLog(struct.PyTreeNode):
+    """Compact per-step pool-env record for host bookkeeping.
+
+    Exactly the four fields the win-rate/rating pipeline reads
+    (extract_pool_records), packed to int8 on device — placements, seats
+    and rotation slots all fit — so a K-update window ships
+    [K*T, Ep] * (2P + 2) bytes instead of the full episode log."""
+
+    completed: jax.Array  # [T, Ep] bool
+    outcome: jax.Array  # [T, Ep, P] i8 placements (1-indexed)
+    learner_seat: jax.Array  # [T, Ep] i8, seat BEFORE reseat (-1 = selfplay)
+    seat_opp: jax.Array  # [T, Ep, P] i8 rotation slots BEFORE resample
+
+
 def make_pool_train_step(
     network: ActorCriticNetwork, env: Environment, cfg: Config, tx,
     num_learner_envs: int, num_slots: int,
@@ -306,7 +351,8 @@ def make_pool_train_step(
     Host traffic is trimmed on device: the self-play (learner) env
     block's episode stats reduce to window scalars (episode_stats.py),
     and only the pool-env columns of the episode/seating logs — the part
-    the win-rate/rating bookkeeping actually reads — are returned."""
+    the win-rate/rating bookkeeping actually reads — are returned,
+    packed int8 (PoolRecordLog)."""
     has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
     def train_step(state: TrainState, seating: PoolSeating, opp_params,
@@ -331,31 +377,87 @@ def make_pool_train_step(
             ),
             env.spec.num_players,
         )
-        pool_slice = jax.tree_util.tree_map(
-            lambda x: x[:, num_learner_envs:], pool_logs
+        L = num_learner_envs
+        pool_records = PoolRecordLog(
+            completed=pool_logs.episode.completed[:, L:],
+            outcome=pool_logs.episode.outcome[:, L:].astype(jnp.int8),
+            learner_seat=pool_logs.learner_seat[:, L:].astype(jnp.int8),
+            seat_opp=pool_logs.seat_opp[:, L:].astype(jnp.int8),
         )
-        return new_state, seat_out, metrics, learner_stats, pool_slice
+        return new_state, seat_out, metrics, learner_stats, pool_records
 
     return train_step
 
 
-def extract_pool_records(pool_slice, num_players: int) -> np.ndarray:
+def make_pool_train_window(
+    network: ActorCriticNetwork, env: Environment, cfg: Config, tx,
+    num_learner_envs: int, num_slots: int,
+):
+    """W fused vs-pool train steps per host call (W = schedule length).
+
+    The opponent rotation is FIXED for the whole window and game records
+    fold into win-rate EMAs / the rating history once per window — the
+    reference's per-update cadence (opponent_pool.rs:233-246, 628-653)
+    generalized to a configurable interval (cfg.pool_rotation_interval;
+    W = 1 reproduces it exactly). Pool records come back stacked and
+    flattened to [W*T, Ep] so the host extraction is one pass."""
+    step = make_pool_train_step(
+        network, env, cfg, tx, num_learner_envs, num_slots
+    )
+
+    def window(state: TrainState, seating: PoolSeating, opp_params,
+               opp_obs_norm, lrs, ent_coefs, shaping_coefs):
+        def body(c, xs):
+            s, seat = c
+            lr, ec, sc = xs
+            s2, seat2, metrics, lstats, records = step(
+                s, seat, opp_params, opp_obs_norm, lr, ec, sc
+            )
+            return (s2, seat2), (metrics, lstats, records)
+
+        (state, seating), (metrics_all, stats_all, records_all) = jax.lax.scan(
+            body, (state, seating), (lrs, ent_coefs, shaping_coefs)
+        )
+        metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
+        for gk in GUARD_METRIC_KEYS:
+            if gk in metrics_all:
+                metrics[gk] = jnp.sum(metrics_all[gk])
+        stats = {
+            "count": jnp.sum(stats_all["count"]),
+            "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
+            "ret0_max": jnp.max(stats_all["ret0_max"]),
+            "ret0_min": jnp.min(stats_all["ret0_min"]),
+            "len_sum": jnp.sum(stats_all["len_sum"]),
+            "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
+            "draws": jnp.sum(stats_all["draws"]),
+        }
+        # [W, T, Ep, ...] -> [W*T, Ep, ...]; keeps the env axis at
+        # position 1, so multi-host host_local_slice still applies.
+        records = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), records_all
+        )
+        return state, seating, metrics, stats, records
+
+    return window
+
+
+def extract_pool_records(pool_records, num_players: int) -> np.ndarray:
     """Completed pool-env episodes -> fixed-width record rows
     [learner_place | opp_slot x (P-1) | opp_place x (P-1)], int32.
 
     Vectorized (no per-episode Python loop — reference batches once per
     rotation, opponent_pool.rs:628-653); operates on one host's local
-    block of the pool-env columns only."""
+    block of the pool-env columns only (a PoolRecordLog, with the window
+    axis already folded into T)."""
     P = num_players
     width = 2 * P - 1
-    ep = pool_slice.episode
-    completed = np.asarray(ep.completed)  # [T, Ep_local]
-    seats = np.asarray(pool_slice.learner_seat)  # [T, Ep_local]
+    completed = np.asarray(pool_records.completed)  # [T, Ep_local]
+    seats = np.asarray(pool_records.learner_seat, dtype=np.int32)
     sel = completed & (seats >= 0)
     if completed.size == 0 or not sel.any():
         return np.zeros((0, width), np.int32)
-    outcomes = np.asarray(ep.outcome)  # [T, Ep_local, P]
-    slots = np.asarray(pool_slice.seat_opp)  # [T, Ep_local, P]
+    outcomes = np.asarray(pool_records.outcome, dtype=np.int32)  # [T, Ep, P]
+    slots = np.asarray(pool_records.seat_opp, dtype=np.int32)  # [T, Ep, P]
     t_idx, e_idx = np.nonzero(sel)
     place = outcomes[t_idx, e_idx]  # [n, P]
     seat = seats[t_idx, e_idx]  # [n]
@@ -454,6 +556,17 @@ class Trainer:
             popart = replicate(popart, self.mesh)
         carry = shard_rollout_carry(carry, self.mesh)
 
+        # Adaptive-entropy controller state lives ON DEVICE (fresh each
+        # process, like the reference's in-memory controller) so adaptive
+        # runs stay inside fused windows; only the scheduled target
+        # crosses the host boundary.
+        ent_state = None
+        if cfg.adaptive_entropy is not None:
+            from burn_ppo_tpu.ppo.entropy import AdaptiveEntropyState
+
+            ent_state = replicate(
+                AdaptiveEntropyState.create(cfg.entropy_coef.get(0)), self.mesh
+            )
         self.state = TrainState(
             params=params, opt_state=opt_state, carry=carry,
             obs_norm=obs_norm, popart=popart,
@@ -461,6 +574,7 @@ class Trainer:
                 k_update,
                 jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
             ),
+            ent_state=ent_state,
         )
 
         # Make the epoch-shuffle granularity visible once per run: tiled
@@ -497,14 +611,14 @@ class Trainer:
             self._train_step = jax.jit(_raw_step, donate_argnums=(0,))
 
         # Fused multi-update windows (device-side K-step scan between
-        # logging boundaries). Off when: pool active (host bookkeeping per
-        # update), adaptive entropy (needs per-update feedback),
-        # phase profiling, or trace capture (per-update spans).
+        # logging boundaries). The pool path windows too (rotation +
+        # bookkeeping once per cfg.pool_rotation_interval updates) and
+        # adaptive entropy runs on device (TrainState.ent_state), so the
+        # only exclusions are the diagnostic modes: phase profiling,
+        # trace capture (per-update spans), checkify.
         self._windows: Dict[int, Any] = {}
         self.use_windows = (
-            (cfg.opponent_pool_fraction <= 0.0 or self.num_players == 1)
-            and cfg.adaptive_entropy is None
-            and not profile_phases
+            not profile_phases
             and profile_dir is None
             and not debug_checkify
         )
@@ -564,7 +678,7 @@ class Trainer:
         self.pool: Optional[Any] = None
         self.rating_history: Optional[Any] = None
         self.seating = None
-        self._pool_steps: Dict[int, Any] = {}  # K -> jitted step
+        self._pool_windows: Dict[Tuple[int, int], Any] = {}  # (K, W) -> jit
         self._last_num_slots: Optional[int] = None
         self.num_learner_envs = self.num_envs
         if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
@@ -798,16 +912,17 @@ class Trainer:
         return k
 
     # ------------------------------------------------------------------
-    def _get_pool_step(self, num_slots: int):
-        if num_slots not in self._pool_steps:
-            self._pool_steps[num_slots] = jax.jit(
-                make_pool_train_step(
+    def _get_pool_window(self, num_slots: int, w: int):
+        key = (num_slots, w)
+        if key not in self._pool_windows:
+            self._pool_windows[key] = jax.jit(
+                make_pool_train_window(
                     self.network, self.env, self.cfg, self.tx,
                     self.num_learner_envs, num_slots,
                 ),
                 donate_argnums=(0, 1),
             )
-        return self._pool_steps[num_slots]
+        return self._pool_windows[key]
 
     def _extract_pool_records(self, pool_slice) -> np.ndarray:
         return extract_pool_records(pool_slice, self.num_players)
@@ -955,15 +1070,48 @@ class Trainer:
                     break
 
                 lr = cfg.learning_rate.get(self.global_step)
-                if self.adaptive_entropy is not None:
-                    ent_coef, ent_target = self.adaptive_entropy.get_coefficient(
+                # Adaptive entropy: the coefficient is device state
+                # (TrainState.ent_state); the host only evaluates the
+                # target schedule. The coefficient actually used comes
+                # back in metrics["adaptive_ent_coef"]. The unfused
+                # phase-profiling diagnostic keeps the host controller.
+                adaptive = self.adaptive_entropy is not None
+                if adaptive:
+                    ent_target = self.adaptive_entropy.target_entropy(
                         self.global_step
                     )
+                    ent_coef = ent_target  # placeholder; resolved below
                 else:
                     ent_coef = cfg.entropy_coef.get(self.global_step)
                     ent_target = 0.0
 
                 shaping = cfg.reward_shaping_coef.get(self.global_step)
+
+                def schedule_arrays(k):
+                    offsets = [
+                        self.global_step + i * steps_per_update for i in range(k)
+                    ]
+                    lrs = jnp.asarray(
+                        [cfg.learning_rate.get(o) for o in offsets], jnp.float32
+                    )
+                    if adaptive:
+                        ecs = jnp.asarray(
+                            [
+                                self.adaptive_entropy.target_entropy(o)
+                                for o in offsets
+                            ],
+                            jnp.float32,
+                        )
+                    else:
+                        ecs = jnp.asarray(
+                            [cfg.entropy_coef.get(o) for o in offsets],
+                            jnp.float32,
+                        )
+                    scs = jnp.asarray(
+                        [cfg.reward_shaping_coef.get(o) for o in offsets],
+                        jnp.float32,
+                    )
+                    return lrs, ecs, scs
 
                 t0 = time.time()
                 updates_done = 1
@@ -995,15 +1143,43 @@ class Trainer:
                             seat_opp=self.seating.seat_opp % K
                         )
                     self._last_num_slots = K
-                    step_fn = self._get_pool_step(K)
+                    # Rotation interval W: this rotation drives up to W
+                    # fused updates in one device window; win-rate/rating
+                    # folds run once per window (see make_pool_train_window
+                    # and cfg.pool_rotation_interval). Boundaries (log /
+                    # checkpoint / total / time budget) still cap the
+                    # window like the non-pool path.
+                    if self.use_windows:
+                        remaining = None
+                        if max_seconds is not None:
+                            remaining = max_seconds - (
+                                time.time() - start_time + self.elapsed_time_offset
+                            )
+                        k = min(
+                            self._window_size(
+                                next_log, next_ckpt, remaining,
+                                self._per_update_time,
+                            ),
+                            max(cfg.pool_rotation_interval, 1),
+                        )
+                    else:
+                        k = 1
+                    if self.multihost:
+                        from burn_ppo_tpu.parallel.distributed import (
+                            broadcast_from_primary,
+                        )
+
+                        k = int(
+                            broadcast_from_primary(np.asarray([k], np.int32))[0]
+                        )
+                    lrs, ecs, scs = schedule_arrays(k)
+                    window_fn = self._get_pool_window(K, k)
                     (
                         self.state, self.seating, metrics, learner_stats,
-                        pool_slice,
-                    ) = step_fn(
+                        pool_records,
+                    ) = window_fn(
                         self.state, self.seating, opp_params, opp_norm,
-                        jnp.asarray(lr, jnp.float32),
-                        jnp.asarray(ent_coef, jnp.float32),
-                        jnp.asarray(shaping, jnp.float32),
+                        lrs, ecs, scs,
                     )
                     # Local pool-game records -> global (identical on all
                     # hosts) -> fold win rates everywhere, ratings on
@@ -1011,13 +1187,28 @@ class Trainer:
                     from burn_ppo_tpu.parallel.distributed import allgather_rows
 
                     rows = self._extract_pool_records(
-                        self._fetch_logs(pool_slice)
+                        self._fetch_logs(pool_records)
                     )
                     rows = allgather_rows(rows, 2 * self.num_players - 1)
                     self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
                     self.tracker.ingest(jax.device_get(learner_stats))
+                    updates_done = k
+                    lr = float(lrs[-1])
+                    if adaptive:
+                        ent_target = float(ecs[-1])
+                    else:
+                        ent_coef = float(ecs[-1])
                 elif self.profile_phases:
+                    if adaptive:
+                        # Diagnostic mode runs the HOST controller (same
+                        # semantics, equivalence-tested) since the phase
+                        # fns take a concrete coefficient.
+                        ent_coef, ent_target = (
+                            self.adaptive_entropy.get_coefficient(
+                                self.global_step
+                            )
+                        )
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
                     updates_done = 1
                 elif self.use_windows:
@@ -1039,19 +1230,7 @@ class Trainer:
                         k = int(
                             broadcast_from_primary(np.asarray([k], np.int32))[0]
                         )
-                    offsets = [
-                        self.global_step + i * steps_per_update for i in range(k)
-                    ]
-                    lrs = jnp.asarray(
-                        [cfg.learning_rate.get(o) for o in offsets], jnp.float32
-                    )
-                    ecs = jnp.asarray(
-                        [cfg.entropy_coef.get(o) for o in offsets], jnp.float32
-                    )
-                    scs = jnp.asarray(
-                        [cfg.reward_shaping_coef.get(o) for o in offsets],
-                        jnp.float32,
-                    )
+                    lrs, ecs, scs = schedule_arrays(k)
                     self.state, metrics, stats = self._get_window(k)(
                         self.state, lrs, ecs, scs
                     )
@@ -1060,12 +1239,17 @@ class Trainer:
                     # metrics come from the window's LAST update; report
                     # the schedule values that produced them.
                     lr = float(lrs[-1])
-                    ent_coef = float(ecs[-1])
+                    if adaptive:
+                        ent_target = float(ecs[-1])
+                    else:
+                        ent_coef = float(ecs[-1])
                 else:
                     step_args = (
                         self.state,
                         jnp.asarray(lr, jnp.float32),
-                        jnp.asarray(ent_coef, jnp.float32),
+                        jnp.asarray(
+                            ent_target if adaptive else ent_coef, jnp.float32
+                        ),
                         jnp.asarray(shaping, jnp.float32),
                     )
                     if self.debug_checkify:
@@ -1086,8 +1270,16 @@ class Trainer:
                 self.global_step += steps_per_update * updates_done
                 last_metrics = metrics
 
-                if self.adaptive_entropy is not None:
-                    self.adaptive_entropy.record_entropy(metrics["entropy"])
+                if adaptive:
+                    if self.profile_phases:
+                        # Host-controller mode: close its feedback loop.
+                        self.adaptive_entropy.record_entropy(
+                            metrics["entropy"]
+                        )
+                    else:
+                        # Fused mode: the coefficient the LAST update in
+                        # the window actually used, from device state.
+                        ent_coef = metrics["adaptive_ent_coef"]
 
                 if self.global_step >= next_log:
                     next_log = self.global_step + cfg.log_freq

@@ -90,3 +90,87 @@ def test_controller_state_is_ephemeral():
     # coefficient. Mirror that: no persistence surface at all.
     c = make(initial=0.02)
     assert not hasattr(c, "state_dict") and not hasattr(c, "load_state_dict")
+
+
+# ---------------------------------------------------------------------------
+# Device controller (TrainState.ent_state) vs host controller equivalence
+# ---------------------------------------------------------------------------
+def test_device_controller_matches_host_over_trajectory():
+    """The fused-step controller (adaptive_entropy_step/record) must
+    replay the host controller's coefficient sequence exactly over a
+    scripted entropy trajectory, including the no-first-observation
+    hold, clamping episodes and a decaying target schedule."""
+    import numpy as np
+
+    from burn_ppo_tpu.ppo.entropy import (
+        AdaptiveEntropyState,
+        adaptive_entropy_record,
+        adaptive_entropy_step,
+    )
+
+    sched = Schedule.parse([[0.8, 0], [0.1, 900]])
+    host = AdaptiveEntropyController(
+        sched, 16, 0.01, min_coef=0.002, max_coef=0.03, delta=0.004
+    )
+    dev = AdaptiveEntropyState.create(0.01)
+
+    rng = np.random.default_rng(3)
+    entropies = np.concatenate(
+        [
+            rng.uniform(0.0, 3.0, size=30),  # random walk
+            np.zeros(10),  # slam into max clamp
+            np.full(10, 50.0),  # slam into min clamp
+            np.full(5, host.target_entropy(0)),  # exact-target (sign 0)
+        ]
+    )
+    for i, e in enumerate(entropies):
+        step = i * 10
+        h_coef, h_target = host.get_coefficient(step)
+        d_coef, dev = adaptive_entropy_step(
+            dev, h_target, 0.002, 0.03, 0.004
+        )
+        assert float(d_coef) == pytest.approx(h_coef, abs=1e-7), (
+            f"iter {i}: device {float(d_coef)} vs host {h_coef}"
+        )
+        host.record_entropy(float(e))
+        dev = adaptive_entropy_record(dev, float(e))
+
+
+def test_device_controller_holds_before_first_observation():
+    from burn_ppo_tpu.ppo.entropy import (
+        AdaptiveEntropyState,
+        adaptive_entropy_step,
+    )
+
+    dev = AdaptiveEntropyState.create(0.02)
+    coef, dev = adaptive_entropy_step(dev, 1.0, 0.001, 0.1, 0.01)
+    assert float(coef) == pytest.approx(0.02)
+    coef, dev = adaptive_entropy_step(dev, 1.0, 0.001, 0.1, 0.01)
+    assert float(coef) == pytest.approx(0.02)
+
+
+def test_adaptive_training_uses_windows_and_reports_coef():
+    """An adaptive-entropy Trainer keeps fused K-update windows (the
+    controller lives in TrainState.ent_state) and surfaces the device
+    coefficient in the summary metrics."""
+    import tempfile
+
+    from burn_ppo_tpu.config import Config
+    from burn_ppo_tpu.train import Trainer
+
+    cfg = Config(
+        env="cartpole", num_envs=4, num_steps=8, total_steps=4 * 8 * 6,
+        hidden_size=8, num_hidden=1, num_minibatches=2, num_epochs=1,
+        seed=0, opponent_pool_fraction=0.0, log_freq=10**9,
+        checkpoint_freq=10**9, adaptive_entropy="0.5",
+        adaptive_entropy_delta=0.005,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        t = Trainer(cfg, d, quiet=True)
+        assert t.use_windows
+        assert t.state.ent_state is not None
+        summary = t.train()
+        assert "train/adaptive_ent_coef" in summary
+        lo = cfg.adaptive_entropy_min_coef
+        hi = cfg.adaptive_entropy_max_coef
+        assert lo <= summary["train/adaptive_ent_coef"] <= hi

@@ -24,13 +24,11 @@ from burn_ppo_tpu.train import extract_pool_records
 # ---------------------------------------------------------------------------
 # record extraction (vectorized) vs a straight per-episode reference loop
 # ---------------------------------------------------------------------------
-class _Ep(struct.PyTreeNode):
+class _Slice(struct.PyTreeNode):
+    """Host-side stand-in for train.PoolRecordLog (flat fields)."""
+
     completed: np.ndarray
     outcome: np.ndarray
-
-
-class _Slice(struct.PyTreeNode):
-    episode: _Ep
     learner_seat: np.ndarray
     seat_opp: np.ndarray
 
@@ -38,8 +36,8 @@ class _Slice(struct.PyTreeNode):
 def _loop_reference(pool_slice, P):
     """The pre-vectorization per-episode loop (round-1 semantics)."""
     rows = []
-    completed = np.asarray(pool_slice.episode.completed)
-    outcomes = np.asarray(pool_slice.episode.outcome)
+    completed = np.asarray(pool_slice.completed)
+    outcomes = np.asarray(pool_slice.outcome)
     seats = np.asarray(pool_slice.learner_seat)
     slots = np.asarray(pool_slice.seat_opp)
     for t, e in zip(*np.nonzero(completed)):
@@ -60,12 +58,10 @@ def _loop_reference(pool_slice, P):
 
 def _random_slice(rng, T=7, E=5, P=4):
     return _Slice(
-        episode=_Ep(
-            completed=rng.random((T, E)) < 0.3,
-            outcome=rng.integers(1, P + 1, size=(T, E, P)),
-        ),
-        learner_seat=rng.integers(-1, P, size=(T, E)),
-        seat_opp=rng.integers(0, 3, size=(T, E, P)),
+        completed=rng.random((T, E)) < 0.3,
+        outcome=rng.integers(1, P + 1, size=(T, E, P)).astype(np.int8),
+        learner_seat=rng.integers(-1, P, size=(T, E)).astype(np.int8),
+        seat_opp=rng.integers(0, 3, size=(T, E, P)).astype(np.int8),
     )
 
 
@@ -80,12 +76,10 @@ def test_extract_matches_per_episode_loop(seed):
 
 def test_extract_empty_and_no_completions():
     sl = _Slice(
-        episode=_Ep(
-            completed=np.zeros((3, 2), bool),
-            outcome=np.ones((3, 2, 2), np.int32),
-        ),
-        learner_seat=np.zeros((3, 2), np.int32),
-        seat_opp=np.zeros((3, 2, 2), np.int32),
+        completed=np.zeros((3, 2), bool),
+        outcome=np.ones((3, 2, 2), np.int8),
+        learner_seat=np.zeros((3, 2), np.int8),
+        seat_opp=np.zeros((3, 2, 2), np.int8),
     )
     assert extract_pool_records(sl, 2).shape == (0, 3)
 
