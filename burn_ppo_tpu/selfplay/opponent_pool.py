@@ -33,6 +33,14 @@ import numpy as np
 
 from burn_ppo_tpu.checkpoint import CheckpointManager
 
+# ONE jitted program stacking K parameter trees along a new leading
+# axis. tree_map(jnp.stack, ...) outside jit issues a dispatch PER LEAF
+# (~0.5s each through a tunneled device — 7s per rotation at CTDE-256x3
+# sizes); fused it is a single dispatch. Retraces per distinct K only.
+_stack_trees = jax.jit(
+    lambda trees: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+)
+
 
 @dataclass
 class OpponentStats:
@@ -203,16 +211,23 @@ class OpponentPool:
         names = tuple(self.active)
         if jax.process_count() == 1:
             loaded = [self._load_params_device(n) for n in names]
-            stack = lambda *xs: jnp.stack(xs)  # device-side, no upload
+            params_list = [p for p, _ in loaded]
+            norms = [n for _, n in loaded]
+            stacked = _stack_trees(params_list)
+            stacked_norm = (
+                _stack_trees(norms)
+                if norms and all(n is not None for n in norms)
+                else None
+            )
         else:
             loaded = [self._load_params(n) for n in names]
+            params_list = [p for p, _ in loaded]
+            norms = [n for _, n in loaded]
             stack = lambda *xs: np.stack([np.asarray(x) for x in xs])
-        params_list = [p for p, _ in loaded]
-        norms = [n for _, n in loaded]
-        stacked = jax.tree_util.tree_map(stack, *params_list)
-        stacked_norm = None
-        if all(n is not None for n in norms) and norms:
-            stacked_norm = jax.tree_util.tree_map(stack, *norms)
+            stacked = jax.tree_util.tree_map(stack, *params_list)
+            stacked_norm = None
+            if all(n is not None for n in norms) and norms:
+                stacked_norm = jax.tree_util.tree_map(stack, *norms)
         return stacked, stacked_norm, list(names)
 
     # ------------------------------------------------------------------

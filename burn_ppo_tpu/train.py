@@ -399,11 +399,58 @@ def make_pool_train_window(
     fold into win-rate EMAs / the rating history once per window — the
     reference's per-update cadence (opponent_pool.rs:233-246, 628-653)
     generalized to a configurable interval (cfg.pool_rotation_interval;
-    W = 1 reproduces it exactly). Pool records come back stacked and
-    flattened to [W*T, Ep] so the host extraction is one pass."""
+    W = 1 reproduces it exactly).
+
+    Completed-game records are COMPACTED ON DEVICE into a fixed-capacity
+    [C, 2P-1] int8 row buffer (scatter by cumsum position, same row
+    layout and order as extract_pool_records over the per-step logs) —
+    the host fetches ~hundreds of KB per window instead of the full
+    [W*T, Ep] log. The computation is global, so under multi-host
+    sharding the buffer already contains every host's games (no Gloo
+    allgather needed). C = max(4096, W*T*Ep/8) covers >10x the typical
+    completion rate; overflow is counted and surfaced as a warning
+    metric (dropped rows would bias win-rate/rating stats, never the
+    training math)."""
     step = make_pool_train_step(
         network, env, cfg, tx, num_learner_envs, num_slots
     )
+    P = env.spec.num_players
+    width = 2 * P - 1
+
+    def compact_records(records_all):
+        # Leaves [W, T, Ep, ...] -> flat [N] with N = W*T*Ep; flatten
+        # order (w, t, e) matches sequential per-step host extraction.
+        completed = records_all.completed.reshape(-1)
+        seats = records_all.learner_seat.reshape(-1).astype(jnp.int32)
+        outcome = records_all.outcome.reshape(-1, P).astype(jnp.int32)
+        slots = records_all.seat_opp.reshape(-1, P).astype(jnp.int32)
+        N = completed.shape[0]
+        sel = completed & (seats >= 0)
+
+        seat_oh = jax.nn.one_hot(
+            jnp.clip(seats, 0, P - 1), P, dtype=jnp.int32
+        )
+        learner_place = jnp.sum(outcome * seat_oh, axis=1)  # [N]
+        # Opponent seat order = seat order skipping the learner seat:
+        # column j reads seat j + (j >= learner_seat).
+        j = jnp.arange(P - 1)[None, :]
+        opp_seat = j + (j >= seats[:, None])  # [N, P-1]
+        opp_oh = jax.nn.one_hot(opp_seat, P, dtype=jnp.int32)  # [N,P-1,P]
+        opp_slots = jnp.einsum("njp,np->nj", opp_oh, slots)
+        opp_places = jnp.einsum("njp,np->nj", opp_oh, outcome)
+        rows_full = jnp.concatenate(
+            [learner_place[:, None], opp_slots, opp_places], axis=1
+        ).astype(jnp.int8)  # [N, width]
+
+        cap = max(4096, N // 8)
+        pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+        scatter_idx = jnp.where(sel, pos, cap)  # cap = out of bounds
+        buf = jnp.zeros((cap, width), jnp.int8)
+        buf = buf.at[scatter_idx].set(rows_full, mode="drop")
+        count = jnp.sum(sel.astype(jnp.int32))
+        return {"rows": buf, "count": jnp.minimum(count, cap)}, (
+            jnp.maximum(count - cap, 0).astype(jnp.float32)
+        )
 
     def window(state: TrainState, seating: PoolSeating, opp_params,
                opp_obs_norm, lrs, ent_coefs, shaping_coefs):
@@ -431,11 +478,8 @@ def make_pool_train_window(
             "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
             "draws": jnp.sum(stats_all["draws"]),
         }
-        # [W, T, Ep, ...] -> [W*T, Ep, ...]; keeps the env axis at
-        # position 1, so multi-host host_local_slice still applies.
-        records = jax.tree_util.tree_map(
-            lambda x: x.reshape((-1,) + x.shape[2:]), records_all
-        )
+        records, overflow = compact_records(records_all)
+        metrics["pool_record_overflow"] = overflow
         return state, seating, metrics, stats, records
 
     return window
@@ -684,9 +728,11 @@ class Trainer:
         if cfg.opponent_pool_fraction > 0.0 and self.num_players > 1:
             # Multi-host pool discipline: every host keeps an identical
             # pool-stats replica driven by globally-synced game records
-            # (allgather_rows at each update) and a seed-locked sampling
-            # rng, so rotations stay in lockstep WITHOUT broadcasting
-            # checkpoint names; only host 0 persists stats/ratings/graphs.
+            # (the device-compacted row buffer is computed from the
+            # GLOBAL episode log, so each host fetches identical rows)
+            # and a seed-locked sampling rng, so rotations stay in
+            # lockstep WITHOUT broadcasting checkpoint names; only
+            # host 0 persists stats/ratings/graphs.
             # Requires the run dir on shared storage (standard for pods).
             from burn_ppo_tpu.selfplay.opponent_pool import OpponentPool
             from burn_ppo_tpu.selfplay.rating_history import RatingHistory
@@ -923,9 +969,6 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
         return self._pool_windows[key]
-
-    def _extract_pool_records(self, pool_slice) -> np.ndarray:
-        return extract_pool_records(pool_slice, self.num_players)
 
     def _apply_pool_records(self, rows: np.ndarray, active_names) -> None:
         """Fold globally-identical game records into win-rate queues (all
@@ -1181,15 +1224,23 @@ class Trainer:
                         self.state, self.seating, opp_params, opp_norm,
                         lrs, ecs, scs,
                     )
-                    # Local pool-game records -> global (identical on all
-                    # hosts) -> fold win rates everywhere, ratings on
-                    # host 0. Keeps rotation sampling in lockstep.
-                    from burn_ppo_tpu.parallel.distributed import allgather_rows
-
-                    rows = self._extract_pool_records(
-                        self._fetch_logs(pool_records)
+                    # The device-compacted record buffer is computed from
+                    # the GLOBAL log (XLA inserts the collectives), so
+                    # every host fetches the same rows — win-rate folds
+                    # stay in lockstep with no Gloo allgather. Non-fully-
+                    # addressable outputs need one replicating identity
+                    # jit before device_get (as in save_checkpoint).
+                    if self.multihost:
+                        repl = jax.sharding.NamedSharding(
+                            self.mesh, jax.sharding.PartitionSpec()
+                        )
+                        pool_records = jax.jit(
+                            lambda t: t, out_shardings=repl
+                        )(pool_records)
+                    rec = jax.device_get(pool_records)
+                    rows = np.asarray(
+                        rec["rows"][: int(rec["count"])], np.int32
                     )
-                    rows = allgather_rows(rows, 2 * self.num_players - 1)
                     self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
                     self.tracker.ingest(jax.device_get(learner_stats))
@@ -1344,6 +1395,18 @@ class Trainer:
         The reference fails fast (empty-mask panic utils.rs:115-135;
         finite asserts ppo.rs:363-366); ``runtime_guards = "warn"`` keeps
         training but prints loudly."""
+        if metrics.get("pool_record_overflow", 0.0) > 0:
+            # Warn-only (never raise): dropped rows bias the win-rate /
+            # rating bookkeeping but do not touch the training math.
+            import sys
+
+            print(
+                f"WARNING: pool record buffer overflowed by "
+                f"{int(metrics['pool_record_overflow'])} game(s) at step "
+                f"{self.global_step}; win-rate/rating stats missed them "
+                "(episodes completing faster than 1 per 8 env-steps)",
+                file=sys.stderr,
+            )
         if self.cfg.runtime_guards == "off":
             return
         problems = []
@@ -1371,16 +1434,6 @@ class Trainer:
         import sys
 
         print(f"WARNING: {msg}", file=sys.stderr)
-
-    # ------------------------------------------------------------------
-    def _fetch_logs(self, logs):
-        """Episode logs to host: this process's env block only ([T, E, ...]
-        leaves shard on axis 1), so multi-host logging never crosses DCN."""
-        from burn_ppo_tpu.parallel.distributed import host_local_slice
-
-        return jax.tree_util.tree_map(
-            lambda x: host_local_slice(x, axis=min(1, x.ndim - 1)), logs
-        )
 
     # ------------------------------------------------------------------
     def _log_metrics(self, m, lr, ent_coef, ent_target, sps) -> None:

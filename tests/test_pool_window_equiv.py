@@ -108,17 +108,15 @@ def test_pool_window_equals_sequential_steps():
         assert w_metrics[k] == seq_metrics[k], k
     assert float(w_stats["count"]) == seq_count
 
-    # The flattened [W*T, Ep] record log is the sequential logs stacked
-    # in update order, so extraction yields the same game records.
+    # The device-compacted row buffer must equal host-side extraction
+    # over the sequential per-step logs, in the same order.
     w_rec = jax.device_get(w_rec)
-    cat = lambda f: np.concatenate([getattr(r, f) for r in seq_records])
-    np.testing.assert_array_equal(np.asarray(w_rec.completed), cat("completed"))
-    np.testing.assert_array_equal(np.asarray(w_rec.outcome), cat("outcome"))
+    rows_win = np.asarray(w_rec["rows"][: int(w_rec["count"])], np.int32)
     rows_seq = np.concatenate(
         [extract_pool_records(r, 2) for r in seq_records]
     )
-    rows_win = extract_pool_records(w_rec, 2)
     np.testing.assert_array_equal(rows_win, rows_seq)
+    assert float(w_metrics["pool_record_overflow"]) == 0.0
 
 
 def test_pool_window_w1_matches_single_step():
@@ -148,8 +146,8 @@ def test_pool_window_w1_matches_single_step():
         jax.tree_util.tree_leaves(ws.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(rec).completed),
-        np.asarray(jax.device_get(wrec).completed),
-    )
+    wrec = jax.device_get(wrec)
+    rows_win = np.asarray(wrec["rows"][: int(wrec["count"])], np.int32)
+    rows_seq = extract_pool_records(jax.device_get(rec), 2)
+    np.testing.assert_array_equal(rows_win, rows_seq)
     assert float(m["policy_loss"]) == float(wm["policy_loss"])
