@@ -51,22 +51,37 @@ def previous_bench() -> dict | None:
     return best
 
 
-def time_per_iter(run1, runN, iters, *args) -> float:
-    """Steady-state seconds per iteration.
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    Warms/compiles both programs, then (dt_N - dt_1) / (iters - 1)
-    cancels the constant dispatch+transport floor. Timing forces
-    completion by fetching the scalar result (block_until_ready is a
-    no-op through the tunnel)."""
+
+def time_per_iter(run1, runN, iters, *args):
+    """Steady-state seconds per iteration: median of BENCH_REPEATS
+    measurements plus their relative spread.
+
+    Each measurement warms both programs, then (dt_N - dt_1)/(iters - 1)
+    cancels the constant dispatch+transport floor. The median + spread
+    distinguish real regressions from run-to-run noise (VERDICT r2
+    weak #1: a single sample made a 3.3% delta unexplainable). Timing
+    forces completion by fetching the scalar result (block_until_ready
+    is a no-op through the tunnel).
+
+    Returns (median_seconds_per_iter, spread_pct) with
+    spread_pct = 100 * (max - min) / median over the repeats."""
     float(run1(*args))
     float(runN(*args))
-    t0 = time.perf_counter()
-    float(runN(*args))
-    dt_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run1(*args))
-    dt_1 = time.perf_counter() - t0
-    return max((dt_n - dt_1) / max(iters - 1, 1), 1e-9)
+    samples = []
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.perf_counter()
+        float(runN(*args))
+        dt_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run1(*args))
+        dt_1 = time.perf_counter() - t0
+        samples.append(max((dt_n - dt_1) / max(iters - 1, 1), 1e-9))
+    samples.sort()
+    med = samples[len(samples) // 2]
+    spread = 100.0 * (samples[-1] - samples[0]) / med
+    return med, spread
 
 
 def dense_fwd_flops(sizes) -> int:
@@ -144,7 +159,7 @@ def bench_cartpole(jax, jnp):
 
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
-    per_iter = time_per_iter(run1, runN, iters, state)
+    per_iter, spread = time_per_iter(run1, runN, iters, state)
     sps = num_envs * num_steps / per_iter
 
     # Analytic model FLOPs per env step: rollout forward (1x) + update
@@ -152,7 +167,7 @@ def bench_cartpole(jax, jnp):
     h, d, a = cfg.hidden_size, env.spec.obs_dim, env.spec.num_actions
     fwd = dense_fwd_flops([(d, h), (h, h), (h, a), (h, 1)])
     flops_per_step = fwd * (1 + 3 * cfg.num_epochs)
-    return sps, sps * flops_per_step
+    return sps, sps * flops_per_step, spread
 
 
 def bench_selfplay_pool(jax, jnp):
@@ -216,7 +231,8 @@ def bench_selfplay_pool(jax, jnp):
 
     run1 = jax.jit(lambda s, seat: run_iters(s, seat, 1))
     runN = jax.jit(lambda s, seat: run_iters(s, seat, iters))
-    sps = E * T / time_per_iter(run1, runN, iters, st, seating)
+    per_iter, sp_spread = time_per_iter(run1, runN, iters, st, seating)
+    sps = E * T / per_iter
 
     # Same config WITHOUT the pool — records the full vs-pool overhead
     # (stacked-opponent forwards + reseat machinery) as a ratio.
@@ -239,17 +255,78 @@ def bench_selfplay_pool(jax, jnp):
 
     run1_np = jax.jit(lambda s: run_iters_np(s, 1))
     runN_np = jax.jit(lambda s: run_iters_np(s, iters))
-    nopool_sps = E * T / time_per_iter(run1_np, runN_np, iters, st)
+    per_iter_np, _ = time_per_iter(run1_np, runN_np, iters, st)
+    nopool_sps = E * T / per_iter_np
+
+    # --- Windowed END-TO-END comparison (VERDICT r2 item 2's bar): the
+    # production pool path is a W=8 fused window per host call, plus the
+    # real per-window host work (rotation re-stack, compacted-record
+    # fetch + slice). Compare against the W=8 non-pool window with the
+    # same host-call pattern.
+    from burn_ppo_tpu.selfplay.opponent_pool import _stack_trees
+    from burn_ppo_tpu.train import make_pool_train_window, make_train_window
+    import numpy as _np
+
+    W = int(os.environ.get("BENCH_SP_WINDOW", "8"))
+    opps = [jax.device_get(params)] * K  # K same-sized trees to stack
+    # No donation here: the same initial state feeds both window paths.
+    win = jax.jit(make_pool_train_window(net, env, cfg, tx, L, K))
+    lrs = jnp.full((W,), 1e-3, jnp.float32)
+    ecs = jnp.full((W,), 0.05, jnp.float32)
+    scs = jnp.zeros((W,), jnp.float32)
+
+    def pool_window_call(s, seat):
+        o = _stack_trees(opps)
+        s, seat, m, stats, rec = win(s, seat, o, None, lrs, ecs, scs)
+        float(m["policy_loss"])
+        r = jax.device_get(rec)
+        _rows = _np.asarray(r["rows"][: int(r["count"])], _np.int32)
+        return s, seat
+
+    s2, seat2 = pool_window_call(st, seating)  # compile
+    s2, seat2 = pool_window_call(s2, seat2)  # layout-stable recompile
+    reps = []
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.perf_counter()
+        s2, seat2 = pool_window_call(s2, seat2)
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    pool_windowed_sps = E * T * W / reps[len(reps) // 2]
+
+    win_np = jax.jit(make_train_window(net, env, cfg, tx))
+
+    def nopool_window_call(s):
+        s, m, stats = win_np(s, lrs, ecs, scs)
+        float(m["policy_loss"])
+        jax.device_get(stats)
+        return s
+
+    s3 = nopool_window_call(st)
+    s3 = nopool_window_call(s3)
+    reps = []
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.perf_counter()
+        s3 = nopool_window_call(s3)
+        reps.append(time.perf_counter() - t0)
+    reps.sort()
+    nopool_windowed_sps = E * T * W / reps[len(reps) // 2]
 
     # Learner fwd on all envs + K opponent fwds on the pool 25% + update.
     h, d, a = cfg.hidden_size, env.spec.obs_dim, env.spec.num_actions
     fwd = dense_fwd_flops([(d, h), (h, h), (h, a), (h, 1)])
     flops_per_step = fwd * (1 + 0.25 * K + 3 * cfg.num_epochs)
-    return sps, sps * flops_per_step, nopool_sps
+    return (
+        sps, sps * flops_per_step, nopool_sps, sp_spread,
+        pool_windowed_sps, nopool_windowed_sps,
+    )
 
 
-def bench_skull_ctde(jax, jnp):
-    """Flagship-config throughput: Skull 4p CTDE hidden-512 fused step."""
+def bench_skull_ctde(jax, jnp, compute_dtype=None):
+    """Flagship-config throughput: Skull 4p CTDE hidden-512 fused step.
+
+    ``compute_dtype='bfloat16'`` measures the bf16 MXU path at
+    production widths (VERDICT r2 item 4); docs/DESIGN.md records the
+    adopt/falsify outcome."""
     from burn_ppo_tpu.config import Config
     from burn_ppo_tpu.envs import make_env
     from burn_ppo_tpu.parallel.mesh import make_mesh, replicate, shard_rollout_carry
@@ -266,6 +343,7 @@ def bench_skull_ctde(jax, jnp):
         num_steps=T, total_steps=10**9, hidden_size=512, num_hidden=2,
         critic_hidden_size=512, critic_num_hidden=2, num_minibatches=4,
         num_epochs=4, seed=0, opponent_pool_fraction=0.0,
+        compute_dtype=compute_dtype,
     )
     mesh = make_mesh()
     env = make_env("skull").with_num_players(4)
@@ -294,7 +372,8 @@ def bench_skull_ctde(jax, jnp):
 
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
-    return E * T / time_per_iter(run1, runN, iters, st)
+    per_iter, _ = time_per_iter(run1, runN, iters, st)
+    return E * T / per_iter
 
 
 def main() -> int:
@@ -303,9 +382,13 @@ def main() -> int:
 
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
-    sps, flops = bench_cartpole(jax, jnp)
-    sp_sps, sp_flops, sp_nopool_sps = bench_selfplay_pool(jax, jnp)
+    sps, flops, spread = bench_cartpole(jax, jnp)
+    (
+        sp_sps, sp_flops, sp_nopool_sps, sp_spread,
+        sp_windowed_sps, sp_nopool_windowed_sps,
+    ) = bench_selfplay_pool(jax, jnp)
     skull_sps = bench_skull_ctde(jax, jnp)
+    skull_bf16_sps = bench_skull_ctde(jax, jnp, compute_dtype="bfloat16")
 
     prev = previous_bench()
     prev_main = float(prev["value"]) if prev else 0.0
@@ -315,7 +398,9 @@ def main() -> int:
     )
 
     extra = {
+        "spread_pct": round(spread, 1),
         "selfplay_pool_sps": round(sp_sps, 1),
+        "selfplay_pool_spread_pct": round(sp_spread, 1),
         "selfplay_pool_vs_baseline": (
             round(sp_sps / prev_sp, 3) if prev_sp else 1.0
         ),
@@ -323,7 +408,15 @@ def main() -> int:
         "pool_overhead_pct": round(
             100.0 * (sp_nopool_sps / sp_sps - 1.0), 1
         ),
+        # End-to-end W=8 windows incl. per-window host work (rotation
+        # re-stack + compacted record fetch) — the production pool path.
+        "selfplay_pool_windowed_sps": round(sp_windowed_sps, 1),
+        "selfplay_nopool_windowed_sps": round(sp_nopool_windowed_sps, 1),
+        "pool_windowed_overhead_pct": round(
+            100.0 * (sp_nopool_windowed_sps / sp_windowed_sps - 1.0), 1
+        ),
         "skull_ctde_sps": round(skull_sps, 1),
+        "skull_ctde_bf16_sps": round(skull_bf16_sps, 1),
         "skull_ctde_vs_baseline": (
             round(skull_sps / prev_skull, 3) if prev_skull else 1.0
         ),

@@ -142,6 +142,11 @@ def _add_eval_parser(sub):
     p.add_argument("--no-temp-cutoff", action="store_true")
     p.add_argument("--temp-decay", action="store_true")
     p.add_argument("--players", type=int)
+    p.add_argument("--parity-ratings", action="store_true",
+                   help="Print the reference's exact stats-mode rating "
+                        "table (per seat-slot over all games, anchor "
+                        "slot 0, +/- 1 sigma; eval.rs:591-644) instead "
+                        "of the merged-by-source table")
     return p
 
 

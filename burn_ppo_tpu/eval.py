@@ -255,7 +255,61 @@ class EvalStats:
                 break
         return compute_ratings(len(self.source_names), games, anchor), len(games)
 
-    def print_table(self) -> None:
+    def compute_parity_ratings(self):
+        """Reference-IDENTICAL stats-mode ratings (eval.rs:591-607):
+        rated per SLOT (one rating per lineup entry, duplicates NOT
+        merged), over ALL recorded games, anchored at slot 0, reported
+        as ±σ. Placements remap seat -> slot by first-seat lookup, the
+        reference's ``perm.position()`` (eval.rs:1812-1820); games where
+        some slot never sat (possible only in cycled lineups) are
+        skipped, since the reference's permutation scheme cannot
+        produce them."""
+        from burn_ppo_tpu.selfplay.plackett_luce import (
+            GameResult,
+            compute_ratings,
+        )
+
+        S = len(self.source_names)
+        games = []
+        for rec in self.game_records:
+            places = []
+            for slot in range(S):
+                seat = next(
+                    (i for i, (src, _) in enumerate(rec) if src == slot), None
+                )
+                if seat is None:
+                    break
+                places.append(rec[seat][1])
+            else:
+                games.append(GameResult.of(list(range(S)), places))
+        return compute_ratings(S, games, 0), len(games)
+
+    def print_parity_ratings(self) -> None:
+        """The reference's exact ratings block (eval.rs:591-644):
+        computation stats, rating guide, per-slot `name: rating±σ` with
+        a strongest marker."""
+        from burn_ppo_tpu.selfplay.plackett_luce import print_rating_guide
+
+        result, n_rated = self.compute_parity_ratings()
+        if n_rated == 0:
+            print("\nNo rateable games recorded.")
+            return
+        st = result.stats
+        status = "converged" if st.converged else "did not converge"
+        print(
+            f"\nRating computation: {status} in {st.iterations_used} "
+            f"iterations ({st.computation_time_ms:.1f}ms), "
+            f"final delta: {st.final_delta:.2e}"
+        )
+        print_rating_guide()
+        print("\nRatings:")
+        ratings = result.ratings
+        strongest = max(range(len(ratings)), key=lambda i: ratings[i].rating)
+        for i, (name, pr) in enumerate(zip(self.source_names, ratings)):
+            marker = " <- strongest" if i == strongest else ""
+            print(f"  {name}: {pr.rating:.0f}±{pr.uncertainty:.0f}{marker}")
+
+    def print_table(self, parity_ratings: bool = False) -> None:
         print(f"\nResults over {self.total_games} games "
               f"(draw rate {self.draws / max(self.total_games, 1):.1%}):")
         header = f"{'Player':<40} {'Games':>6} {'Win%':>7} {'AvgPlace':>9} {'AvgReward':>10}"
@@ -266,6 +320,11 @@ class EvalStats:
                 f"{row['name']:<40} {row['games']:>6} {row['win_rate']:>6.1%} "
                 f"{row['avg_placement']:>9.2f} {row['avg_reward']:>10.3f}"
             )
+        if parity_ratings:
+            # Reference-identical per-slot table (eval.rs:591-644),
+            # selected by --parity-ratings.
+            self.print_parity_ratings()
+            return
         # Ratings need 2+ distinct sources and at least one game with
         # every seat held by a different source.
         if len(set(self.source_names)) > 1 and self.game_records:
@@ -556,12 +615,22 @@ def run_watch_mode(
         state = env.reset(k)
         move = 0
         print(f"\n=== Game {game + 1}/{num_games} ===")
+        # Rotate seat assignments between watched games for fairness,
+        # as the reference's watch loop does (eval.rs:1068-1279).
+        seat_of = [(p + game) % len(sources) for p in range(P)]
+        if len(sources) > 1:
+            print(
+                "Seats: "
+                + ", ".join(
+                    f"P{p}={sources[seat_of[p]].name}" for p in range(P)
+                )
+            )
         while not bool(state.done):
             rendered = env.render(state)
             if rendered:
                 print(rendered)
             player = int(env.current_player(state))
-            source = sources[player % len(sources)]
+            source = sources[seat_of[player]]
             key, k_s = jax.random.split(key)
             action = _select_action(env, state, source, temp.get_temp(move), k_s)
             print(f"{source.name} (P{player}): {env.describe_action(int(action))}")
@@ -715,5 +784,7 @@ def run_evaluation_cli(args) -> int:
         env, sources, args.num_games, num_envs=args.num_envs,
         temp=temp, seed=args.seed,
     )
-    stats.print_table()
+    stats.print_table(
+        parity_ratings=getattr(args, "parity_ratings", False)
+    )
     return 0

@@ -114,3 +114,98 @@ def test_stats_mode_selfplay_broadcast(trained_c4_checkpoint):
     )
     assert stats.total_games >= 10
     assert stats.games[0] == 2 * stats.total_games  # both seats
+
+
+# ---------------------------------------------------------------------------
+# --parity-ratings: the reference's exact per-slot rating table
+# (eval.rs:591-644) behind a flag, merged table stays the default
+# ---------------------------------------------------------------------------
+def _scripted_stats():
+    """3 slots over 3-player games; slot 1 dominates, slot 2 always last."""
+    stats = EvalStats(["ckptA", "ckptA", "Random"], 3)
+    perms = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    for g in range(30):
+        perm = perms[g % 3]  # seat -> slot
+        # placement by slot: slot1 first, slot0 second, slot2 third
+        place_of_slot = {1: 1, 0: 2, 2: 3}
+        placements = [place_of_slot[perm[seat]] for seat in range(3)]
+        rewards = [1.0 - (p - 1) for p in placements]
+        stats.record_game(list(perm), placements, rewards)
+    return stats
+
+
+def test_parity_ratings_per_slot_anchor_and_order():
+    stats = _scripted_stats()
+    result, n_rated = stats.compute_parity_ratings()
+    # ALL games rate (no multi-seat skip: every slot sits exactly once).
+    assert n_rated == 30
+    ratings = [r.rating for r in result.ratings]
+    # Anchor = slot 0 at 1000 exactly (reference anchors index 0).
+    assert ratings[0] == pytest.approx(1000.0)
+    # Duplicate names are NOT merged: slot 1 (same name as slot 0)
+    # rates strictly higher; slot 2 strictly lower.
+    assert ratings[1] > ratings[0] > ratings[2]
+    # Non-anchor uncertainties are per-slot sigmas (positive); the
+    # anchor is pinned, so its sigma is 0 by construction.
+    assert result.ratings[0].uncertainty == pytest.approx(0.0)
+    assert all(r.uncertainty > 0 for r in result.ratings[1:])
+
+
+def test_parity_ratings_seat_slot_inversion():
+    """Placements must be remapped seat -> slot via the permutation
+    (eval.rs:1812-1820): the same game set recorded under rotated seats
+    yields the same per-slot ratings as identity seating."""
+    a = EvalStats(["x", "y"], 2)
+    b = EvalStats(["x", "y"], 2)
+    for g in range(20):
+        # slot 0 always wins
+        a.record_game([0, 1], [1, 2], [1.0, -1.0])  # identity seats
+        b.record_game([1, 0], [2, 1], [-1.0, 1.0])  # swapped seats
+    ra, na = a.compute_parity_ratings()
+    rb, nb = b.compute_parity_ratings()
+    assert na == nb == 20
+    for pa, pb in zip(ra.ratings, rb.ratings):
+        assert pa.rating == pytest.approx(pb.rating)
+        assert pa.uncertainty == pytest.approx(pb.uncertainty)
+
+
+def test_parity_ratings_printed_behind_flag(capsys):
+    stats = _scripted_stats()
+    stats.print_table()  # default: merged table, no parity block
+    out_default = capsys.readouterr().out
+    assert "<- strongest" not in out_default
+    stats.print_table(parity_ratings=True)
+    out_parity = capsys.readouterr().out
+    assert "Rating computation:" in out_parity
+    assert "<- strongest" in out_parity
+    # One rating line per SLOT, +/- one sigma formatting.
+    assert out_parity.count("ckptA:") == 2
+
+
+def test_eval_cli_exposes_parity_flag():
+    from burn_ppo_tpu.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["eval", "--random", "-e", "cartpole", "--parity-ratings"]
+    )
+    assert args.parity_ratings is True
+
+
+def test_watch_mode_rotates_seats_between_games(capsys):
+    """Watch mode cycles seat assignments per game (reference watch
+    loop rotates; repo previously pinned sources[p % S] for all games)."""
+    import dataclasses
+
+    from burn_ppo_tpu.eval import run_watch_mode
+
+    env = make_env("connect_four")
+    a = dataclasses.replace(PlayerSource.random(), name="A")
+    b = dataclasses.replace(PlayerSource.random(), name="B")
+    run_watch_mode(
+        env, [a, b], num_games=2,
+        temp=TempSchedule(initial=1.0, final_temp=1.0, cutoff=None),
+        seed=0,
+    )
+    out = capsys.readouterr().out
+    assert "Seats: P0=A, P1=B" in out
+    assert "Seats: P0=B, P1=A" in out
