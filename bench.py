@@ -268,7 +268,14 @@ def bench_selfplay_pool(jax, jnp):
     import numpy as _np
 
     W = int(os.environ.get("BENCH_SP_WINDOW", "8"))
-    opps = [jax.device_get(params)] * K  # K same-sized trees to stack
+    # K device-resident opponent trees, mirroring production: the pool
+    # uploads each checkpoint to the device ONCE (_load_params_device)
+    # and per-rotation stacking runs on device — not a ~24MB host
+    # re-upload per window (which is what device_get'd trees would time).
+    host_tree = jax.device_get(params)
+    opps = [
+        jax.tree_util.tree_map(jnp.asarray, host_tree) for _ in range(K)
+    ]
     # No donation here: the same initial state feeds both window paths.
     win = jax.jit(make_pool_train_window(net, env, cfg, tx, L, K))
     lrs = jnp.full((W,), 1e-3, jnp.float32)

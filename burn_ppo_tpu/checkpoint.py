@@ -47,6 +47,95 @@ def save_pytree(path: Path, tree: Any) -> None:
     path.write_bytes(buf.getvalue())
 
 
+# ---------------------------------------------------------------------------
+# Single-transfer device fetch
+# ---------------------------------------------------------------------------
+# A checkpoint's ~100+ leaves fetched one np.asarray at a time pay one
+# device round trip EACH — through a tunneled/remote device that is
+# 40-60s per checkpoint, dominating training wall clock (the reference
+# never hits this: its state already lives host-side, checkpoint.rs
+# serializes from RAM). Packing every leaf into one on-device byte
+# buffer makes the whole checkpoint ONE transfer; the host then splits
+# it back into leaves by precomputed (offset, dtype, shape).
+
+_pack_cache: Dict[Any, Any] = {}
+
+
+def _bitcast_u8(leaf: jax.Array) -> jax.Array:
+    x = leaf.ravel()
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    if x.dtype == jnp.uint8:
+        return x
+    # NB: every chunk must be EXACTLY uint8 — concatenating e.g. int8
+    # with uint8 would silently type-promote the packed buffer to int16
+    # and double every byte offset.
+    return jax.lax.bitcast_convert_type(x, jnp.uint8).ravel()
+
+
+def fetch_tree(tree: Any) -> Any:
+    """device -> host copy of a pytree in ONE device transfer.
+
+    Returns a tree of np.ndarrays with identical structure/dtypes/shapes.
+    Key PRNG arrays and other non-fetchable leaves pass through
+    np.asarray individually (they're scalars — negligible)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if jax.process_count() > 1:
+        # Multihost: save() runs on host 0 only; a one-process jit over
+        # global arrays would deadlock the others. Per-leaf np.asarray
+        # reads the addressable replica without a collective.
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [np.asarray(l) if hasattr(l, "dtype") else l for l in leaves],
+        )
+    # Pack only device (jax.Array) leaves: host numpy/python leaves need
+    # no fetch, and jit would silently canonicalize their dtypes (e.g.
+    # int64 -> int32), corrupting the host-side byte offsets.
+    arr_idx = [
+        i
+        for i, l in enumerate(leaves)
+        if isinstance(l, jax.Array) and int(np.prod(l.shape)) > 0
+    ]
+    if not arr_idx:
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [np.asarray(l) if hasattr(l, "dtype") else l for l in leaves],
+        )
+    metas = tuple(
+        (np.dtype(leaves[i].dtype), tuple(leaves[i].shape)) for i in arr_idx
+    )
+    key = (treedef, tuple(arr_idx), metas)
+    packer = _pack_cache.get(key)
+    if packer is None:
+        def _pack(ls):
+            return jnp.concatenate([_bitcast_u8(l) for l in ls])
+
+        packer = jax.jit(_pack)
+        _pack_cache[key] = packer
+    flat = np.asarray(packer([leaves[i] for i in arr_idx]))  # one transfer
+    total = sum(int(np.prod(s)) * dt.itemsize for dt, s in metas)
+    if flat.dtype != np.uint8 or flat.size != total:
+        raise AssertionError(
+            f"packed fetch corrupted: dtype={flat.dtype} size={flat.size} "
+            f"expected uint8 x {total}"
+        )
+    out = list(leaves)
+    off = 0
+    for i, (dt, shape) in zip(arr_idx, metas):
+        n = int(np.prod(shape)) * dt.itemsize
+        seg = flat[off : off + n]
+        off += n
+        if dt == np.bool_:
+            arr = seg.view(np.uint8).astype(np.bool_).reshape(shape)
+        else:
+            arr = seg.view(dt).reshape(shape)
+        out[i] = arr
+    for i, l in enumerate(leaves):
+        if i not in set(arr_idx):
+            out[i] = np.asarray(l) if hasattr(l, "dtype") else l
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def load_pytree(path: Path, template: Any) -> Any:
     """Restore a pytree saved by save_pytree using ``template``'s structure."""
     with np.load(io.BytesIO(path.read_bytes())) as data:
@@ -195,12 +284,20 @@ class CheckpointManager:
         tmp = Path(
             tempfile.mkdtemp(prefix=f".tmp_{CHECKPOINT_DIR_PREFIX}{step}_", dir=self.dir)
         )
+        # One device transfer for the whole checkpoint (see fetch_tree);
+        # the npz writes below then serialize pure host arrays.
+        host = fetch_tree(
+            {
+                "model": params,
+                "optimizer": opt_state,
+                "aux": {k: v for k, v in aux_state.items() if v is not None},
+            }
+        )
         try:
-            save_pytree(tmp / "model.npz", params)
-            save_pytree(tmp / "optimizer.npz", opt_state)
-            for name, tree in aux_state.items():
-                if tree is not None:
-                    save_pytree(tmp / f"{name}.npz", tree)
+            save_pytree(tmp / "model.npz", host["model"])
+            save_pytree(tmp / "optimizer.npz", host["optimizer"])
+            for name, tree in host["aux"].items():
+                save_pytree(tmp / f"{name}.npz", tree)
             (tmp / "metadata.json").write_text(json.dumps(metadata, indent=2))
             if final.exists():
                 shutil.rmtree(final)

@@ -63,6 +63,12 @@ def _add_train_parser(sub):
     p.add_argument("--profile-phases", action="store_true",
                    help="Unfused diagnostic mode: time rollout/GAE/update "
                         "separately (logs perf/rollout_time etc.)")
+    p.add_argument("--compilation-cache", default="auto", metavar="DIR|auto|off",
+                   help="Persistent XLA compilation cache directory "
+                        "('auto' = ~/.cache/burn_ppo_tpu/xla_cache or "
+                        "$BURN_PPO_COMPILE_CACHE; 'off' disables). "
+                        "Supervisor children and resumed runs hit the "
+                        "cache instead of recompiling")
     p.add_argument("--elapsed-time-offset-ms", type=int, default=0,
                    help=argparse.SUPPRESS)  # internal (supervisor child)
 
@@ -274,6 +280,9 @@ def run_train(args, argv=None) -> int:
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else None
         )
+    from burn_ppo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
     if args.multihost:
         from burn_ppo_tpu.parallel.distributed import maybe_initialize
 

@@ -64,18 +64,25 @@ def compute(
         return None
 
     C = len(comparisons)
-    winners = np.fromiter(
-        (c.winner for c in comparisons), dtype=np.int32, count=C
-    )
-    offsets = np.zeros(C + 1, dtype=np.int32)
-    for i, c in enumerate(comparisons):
-        offsets[i + 1] = offsets[i] + len(c.losers)
-    losers = np.empty(int(offsets[-1]), dtype=np.int32)
-    for i, c in enumerate(comparisons):
-        losers[offsets[i] : offsets[i + 1]] = c.losers
-    weights = np.fromiter(
-        (c.weight for c in comparisons), dtype=np.float64, count=C
-    )
+    if hasattr(comparisons, "winners"):  # ComparisonArrays fast path
+        winners = np.ascontiguousarray(comparisons.winners, dtype=np.int32)
+        offsets = np.zeros(C + 1, dtype=np.int32)
+        np.cumsum(comparisons.counts, out=offsets[1:])
+        losers = np.ascontiguousarray(comparisons.losers, dtype=np.int32)
+        weights = np.ascontiguousarray(comparisons.weights, dtype=np.float64)
+    else:
+        winners = np.fromiter(
+            (c.winner for c in comparisons), dtype=np.int32, count=C
+        )
+        offsets = np.zeros(C + 1, dtype=np.int32)
+        for i, c in enumerate(comparisons):
+            offsets[i + 1] = offsets[i] + len(c.losers)
+        losers = np.empty(int(offsets[-1]), dtype=np.int32)
+        for i, c in enumerate(comparisons):
+            losers[offsets[i] : offsets[i + 1]] = c.losers
+        weights = np.fromiter(
+            (c.weight for c in comparisons), dtype=np.float64, count=C
+        )
     gp = np.ascontiguousarray(games_played, dtype=np.int32)
 
     ratings = np.zeros(num_players, dtype=np.float64)

@@ -329,16 +329,22 @@ def ppo_update(
         stop = stop | (kl > cfg.target_kl)
         return (params, opt_state, stop, sums, count), None
 
+    if N % nmb != 0:
+        # Uneven-split parity (ppo.rs:1811-1831): the reference uses
+        # EVERY sample each epoch, splitting N into minibatches whose
+        # sizes differ by <=1. Static shapes can't vary per minibatch, so
+        # pad up to nmb*ceil(N/nmb) with wrapped copies of real rows
+        # whose valid flag (last packed column) is zeroed — every loss /
+        # metric reduction is already valid-weighted, so a minibatch
+        # averages over exactly its real samples, same as the reference's
+        # shorter minibatch. Pad rows copy real rows (not zeros) so
+        # action masks / observations stay well-formed.
+        mb_size = -(-N // nmb)
+        pad = nmb * mb_size - N
+        pad_rows = packed[:pad].at[:, -1].set(0.0)
+        packed = jnp.concatenate([packed, pad_rows], axis=0)
     R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)
     num_blocks = (nmb * mb_size) // R
-    if N % nmb != 0:
-        # The reference drops a RANDOM remainder each epoch
-        # (ppo.rs:1811-1831's uneven split); a fixed prefix would exclude
-        # the same tail samples forever. Rotate by a fresh random offset
-        # per update so the excluded N % nmb samples vary.
-        key, k_roll = jax.random.split(key)
-        shift = jax.random.randint(k_roll, (), 0, N)
-        packed = jnp.roll(packed, shift, axis=0)
     packed_tiled = packed[: nmb * mb_size].reshape(num_blocks, R * C)
 
     epoch_keys = jax.random.split(key, cfg.num_epochs)

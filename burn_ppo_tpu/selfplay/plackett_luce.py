@@ -111,6 +111,61 @@ def expand_games_to_comparisons(games: Sequence[GameResult]) -> List[_Comparison
     return comparisons
 
 
+@dataclass(frozen=True)
+class ComparisonArrays:
+    """Flat array form of a comparison list — the incremental-rating
+    cache unit (RatingHistory appends games, so expanded comparisons can
+    be cached as chunks and concatenated instead of re-expanding the
+    full game log at every checkpoint)."""
+
+    winners: np.ndarray  # i32 [C]
+    counts: np.ndarray  # i32 [C] losers per comparison
+    losers: np.ndarray  # i32 [sum(counts)] flattened
+    weights: np.ndarray  # f64 [C]
+
+    def __len__(self) -> int:
+        return len(self.winners)
+
+
+def comparisons_to_arrays(comparisons: Sequence[_Comparison]) -> ComparisonArrays:
+    C = len(comparisons)
+    winners = np.fromiter((c.winner for c in comparisons), np.int32, count=C)
+    counts = np.fromiter(
+        (len(c.losers) for c in comparisons), np.int32, count=C
+    )
+    losers = np.fromiter(
+        (p for c in comparisons for p in c.losers), np.int32,
+        count=int(counts.sum()),
+    )
+    weights = np.fromiter((c.weight for c in comparisons), np.float64, count=C)
+    return ComparisonArrays(winners, counts, losers, weights)
+
+
+def arrays_to_comparisons(arrays: ComparisonArrays) -> List[_Comparison]:
+    offsets = np.concatenate([[0], np.cumsum(arrays.counts)])
+    return [
+        _Comparison(
+            int(arrays.winners[i]),
+            arrays.losers[offsets[i] : offsets[i + 1]].tolist(),
+            float(arrays.weights[i]),
+        )
+        for i in range(len(arrays))
+    ]
+
+
+def concat_comparison_arrays(
+    chunks: Sequence[ComparisonArrays],
+) -> ComparisonArrays:
+    if len(chunks) == 1:
+        return chunks[0]
+    return ComparisonArrays(
+        np.concatenate([c.winners for c in chunks]) if chunks else np.zeros(0, np.int32),
+        np.concatenate([c.counts for c in chunks]) if chunks else np.zeros(0, np.int32),
+        np.concatenate([c.losers for c in chunks]) if chunks else np.zeros(0, np.int32),
+        np.concatenate([c.weights for c in chunks]) if chunks else np.zeros(0, np.float64),
+    )
+
+
 def _mm_update(
     comparisons: List[_Comparison], gammas: np.ndarray, epsilon: float
 ) -> np.ndarray:
@@ -177,6 +232,31 @@ def compute_ratings(
     anchor_player_idx: int,
     config: PlackettLuceConfig = PlackettLuceConfig(),
 ) -> RatingResult:
+    games = list(games)
+    games_played = np.zeros(num_players, dtype=np.int64)
+    for g in games:
+        for p in g.players:
+            if p < num_players:
+                games_played[p] += 1
+    comparisons = expand_games_to_comparisons(games) if games else []
+    return compute_ratings_from_comparisons(
+        num_players, comparisons, games_played, anchor_player_idx, config
+    )
+
+
+def compute_ratings_from_comparisons(
+    num_players: int,
+    comparisons,  # List[_Comparison] | ComparisonArrays
+    games_played: np.ndarray,
+    anchor_player_idx: int,
+    config: PlackettLuceConfig = PlackettLuceConfig(),
+) -> RatingResult:
+    """Rate from pre-expanded comparisons (list or flat-array form).
+
+    This is the incremental-rating entry: RatingHistory caches expanded
+    comparisons across checkpoints (the game log is append-only) and
+    passes ComparisonArrays straight to the native engine, skipping the
+    per-checkpoint re-expansion of the full log."""
     t0 = time.perf_counter()
 
     def _done(ratings, converged=True, iters=0, delta=0.0):
@@ -192,18 +272,7 @@ def compute_ratings(
 
     if num_players == 0:
         return _done([])
-    games = list(games)
-    if not games:
-        return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
-
-    games_played = np.zeros(num_players, dtype=int)
-    for g in games:
-        for p in g.players:
-            if p < num_players:
-                games_played[p] += 1
-
-    comparisons = expand_games_to_comparisons(games)
-    if not comparisons:
+    if len(comparisons) == 0:
         return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
 
     # Native fast path: the MM loop + Fisher information in C++
@@ -227,6 +296,9 @@ def compute_ratings(
             iters,
             delta,
         )
+
+    if isinstance(comparisons, ComparisonArrays):
+        comparisons = arrays_to_comparisons(comparisons)
 
     gammas = np.zeros(num_players)
     converged, iters, delta = False, 0, float("inf")

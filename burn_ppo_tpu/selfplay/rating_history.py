@@ -16,10 +16,16 @@ from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
+
 from burn_ppo_tpu.selfplay.plackett_luce import (
+    ComparisonArrays,
     GameResult,
     PlackettLuceConfig,
-    compute_ratings,
+    compute_ratings_from_comparisons,
+    comparisons_to_arrays,
+    concat_comparison_arrays,
+    expand_games_to_comparisons,
 )
 
 
@@ -44,6 +50,14 @@ class RatingHistory:
         self.first_checkpoint_idx: Optional[int] = None
         self.current_checkpoint: Optional[str] = None
         self._cached_ratings: Optional[List[float]] = None
+        # Incremental-comparison cache: the game log is append-only, so
+        # expanded comparisons are cached as flat-array chunks and only
+        # the tail of the log (games[_expanded_upto:]) is expanded at
+        # each checkpoint. Player indices are append-only too (_register),
+        # so cached chunks never go stale.
+        self._expanded_upto: int = 0
+        self._chunks: List[ComparisonArrays] = []
+        self._games_played = np.zeros(0, dtype=np.int64)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -143,14 +157,43 @@ class RatingHistory:
             self._cached_ratings = []
             return RatingSnapshot()
 
-        pl_games = []
-        for game in self.games:
-            players = [self.checkpoint_to_idx[game["current"]]] + [
-                self.checkpoint_to_idx[o] for o in game["opponents"]
-            ]
-            pl_games.append(GameResult.of(players, game["placements"]))
+        new_games = self.games[self._expanded_upto :]
+        if new_games:
+            pl_games = []
+            for game in new_games:
+                players = [self.checkpoint_to_idx[game["current"]]] + [
+                    self.checkpoint_to_idx[o] for o in game["opponents"]
+                ]
+                pl_games.append(GameResult.of(players, game["placements"]))
+            chunk = comparisons_to_arrays(expand_games_to_comparisons(pl_games))
+            if len(chunk):
+                self._chunks.append(chunk)
+            if len(self._games_played) < n:
+                self._games_played = np.concatenate(
+                    [
+                        self._games_played,
+                        np.zeros(n - len(self._games_played), dtype=np.int64),
+                    ]
+                )
+            for g in pl_games:
+                for p in g.players:
+                    self._games_played[p] += 1
+            self._expanded_upto = len(self.games)
 
-        result = compute_ratings(n, pl_games, 0, PlackettLuceConfig())
+        games_played = self._games_played
+        if len(games_played) < n:
+            games_played = np.concatenate(
+                [games_played, np.zeros(n - len(games_played), dtype=np.int64)]
+            )
+        if self._chunks:
+            arrays = concat_comparison_arrays(self._chunks)
+            self._chunks = [arrays]  # compact: one memcpy per checkpoint
+        else:
+            arrays = comparisons_to_arrays([])
+
+        result = compute_ratings_from_comparisons(
+            n, arrays, games_played[:n], 0, PlackettLuceConfig()
+        )
         raw = [r.rating for r in result.ratings]
         first = self.first_checkpoint_idx or 0
         shift = 1000.0 - raw[first]

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata, fetch_tree
 from burn_ppo_tpu.config import Config
 from burn_ppo_tpu.envs import make_env
 from burn_ppo_tpu.envs.base import Environment
@@ -1131,30 +1131,30 @@ class Trainer:
                 shaping = cfg.reward_shaping_coef.get(self.global_step)
 
                 def schedule_arrays(k):
+                    """Device schedule arrays for a k-update window, plus
+                    the LAST host-side values (reading them back from the
+                    device arrays would cost a round trip per window)."""
                     offsets = [
                         self.global_step + i * steps_per_update for i in range(k)
                     ]
-                    lrs = jnp.asarray(
-                        [cfg.learning_rate.get(o) for o in offsets], jnp.float32
-                    )
+                    lr_list = [cfg.learning_rate.get(o) for o in offsets]
                     if adaptive:
-                        ecs = jnp.asarray(
-                            [
-                                self.adaptive_entropy.target_entropy(o)
-                                for o in offsets
-                            ],
-                            jnp.float32,
-                        )
+                        ec_list = [
+                            self.adaptive_entropy.target_entropy(o)
+                            for o in offsets
+                        ]
                     else:
-                        ecs = jnp.asarray(
-                            [cfg.entropy_coef.get(o) for o in offsets],
-                            jnp.float32,
-                        )
-                    scs = jnp.asarray(
-                        [cfg.reward_shaping_coef.get(o) for o in offsets],
-                        jnp.float32,
+                        ec_list = [cfg.entropy_coef.get(o) for o in offsets]
+                    sc_list = [
+                        cfg.reward_shaping_coef.get(o) for o in offsets
+                    ]
+                    return (
+                        jnp.asarray(lr_list, jnp.float32),
+                        jnp.asarray(ec_list, jnp.float32),
+                        jnp.asarray(sc_list, jnp.float32),
+                        float(lr_list[-1]),
+                        float(ec_list[-1]),
                     )
-                    return lrs, ecs, scs
 
                 t0 = time.time()
                 updates_done = 1
@@ -1215,7 +1215,7 @@ class Trainer:
                         k = int(
                             broadcast_from_primary(np.asarray([k], np.int32))[0]
                         )
-                    lrs, ecs, scs = schedule_arrays(k)
+                    lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
                     window_fn = self._get_pool_window(K, k)
                     (
                         self.state, self.seating, metrics, learner_stats,
@@ -1237,19 +1237,31 @@ class Trainer:
                         pool_records = jax.jit(
                             lambda t: t, out_shardings=repl
                         )(pool_records)
-                    rec = jax.device_get(pool_records)
+                    # ONE device transfer for everything the host reads
+                    # this window (records + stats + metrics): per-leaf
+                    # device_get pays a round trip per scalar through a
+                    # tunneled device.
+                    fetched = fetch_tree(
+                        {
+                            "rec": pool_records,
+                            "stats": learner_stats,
+                            "metrics": metrics,
+                        }
+                    )
+                    rec = fetched["rec"]
+                    metrics = fetched["metrics"]
                     rows = np.asarray(
                         rec["rows"][: int(rec["count"])], np.int32
                     )
                     self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
-                    self.tracker.ingest(jax.device_get(learner_stats))
+                    self.tracker.ingest(fetched["stats"])
                     updates_done = k
-                    lr = float(lrs[-1])
+                    lr = lr_last
                     if adaptive:
-                        ent_target = float(ecs[-1])
+                        ent_target = ec_last
                     else:
-                        ent_coef = float(ecs[-1])
+                        ent_coef = ec_last
                 elif self.profile_phases:
                     if adaptive:
                         # Diagnostic mode runs the HOST controller (same
@@ -1281,19 +1293,21 @@ class Trainer:
                         k = int(
                             broadcast_from_primary(np.asarray([k], np.int32))[0]
                         )
-                    lrs, ecs, scs = schedule_arrays(k)
+                    lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
                     self.state, metrics, stats = self._get_window(k)(
                         self.state, lrs, ecs, scs
                     )
-                    self.tracker.ingest(jax.device_get(stats))
+                    fetched = fetch_tree({"stats": stats, "metrics": metrics})
+                    metrics = fetched["metrics"]
+                    self.tracker.ingest(fetched["stats"])
                     updates_done = k
                     # metrics come from the window's LAST update; report
                     # the schedule values that produced them.
-                    lr = float(lrs[-1])
+                    lr = lr_last
                     if adaptive:
-                        ent_target = float(ecs[-1])
+                        ent_target = ec_last
                     else:
-                        ent_coef = float(ecs[-1])
+                        ent_coef = ec_last
                 else:
                     step_args = (
                         self.state,
@@ -1310,7 +1324,9 @@ class Trainer:
                         err.throw()
                     else:
                         self.state, metrics, logs = self._train_step(*step_args)
-                    self.tracker.ingest(jax.device_get(logs))
+                    fetched = fetch_tree({"logs": logs, "metrics": metrics})
+                    metrics = fetched["metrics"]
+                    self.tracker.ingest(fetched["logs"])
                 metrics = jax.tree_util.tree_map(float, jax.device_get(metrics))
                 self._enforce_guards(metrics)
                 step_time = time.time() - t0

@@ -65,3 +65,43 @@ def format_duration(seconds: float) -> str:
     if m:
         return f"{m}m{s:02d}s"
     return f"{s}s"
+
+
+def enable_compilation_cache(spec: str | None = "auto"):
+    """Point JAX's persistent compilation cache at a directory.
+
+    The reference has no compile step to amortize; XLA does, and this
+    framework's supervisor mode (reference main.rs:1700-1784 respawn
+    semantics) pays a full retrace+compile in every child — the dominant
+    reload cost (~2 windows of a flagship run per respawn). A persistent
+    cache turns those into disk hits shared across processes and runs.
+
+    ``spec``: "off"/None disables; "auto" uses
+    $BURN_PPO_COMPILE_CACHE or ~/.cache/burn_ppo_tpu/xla_cache;
+    anything else is a directory path. Returns the directory in use or
+    None. Safe everywhere: backends that can't serialize executables
+    just skip the cache with a JAX warning.
+    """
+    import os
+    from pathlib import Path
+
+    if spec in (None, "off"):
+        return None
+    if spec == "auto":
+        spec = os.environ.get("BURN_PPO_COMPILE_CACHE") or str(
+            Path(
+                os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+            )
+            / "burn_ppo_tpu"
+            / "xla_cache"
+        )
+    path = Path(spec)
+    path.mkdir(parents=True, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # Cache every executable: training programs are few and large, and
+    # supervisor children re-hit identical keys.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return str(path)

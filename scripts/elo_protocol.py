@@ -116,6 +116,9 @@ def main() -> int:
             *PROTOCOL[env],
             "--max-training-time", args.budget,
             "--run-name", run_name,
+            # Cold compiles every round: a warm persistent cache would
+            # inflate learning-per-wall-clock vs earlier rounds.
+            "--compilation-cache", "off",
         ]
         print(f"== {env}: {args.budget} budget -> runs/{run_name}", flush=True)
         rc = subprocess.run(cmd, cwd=REPO).returncode

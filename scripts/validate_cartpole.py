@@ -11,7 +11,14 @@ import sys
 import os
 
 if "--tpu" not in sys.argv:
+    # The env var alone is not reliable here: the ambient axon TPU
+    # plugin can still win platform selection (and then every init
+    # fetch blocks behind whatever the shared chip is doing). Force it
+    # in-process before any jax.devices() call.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

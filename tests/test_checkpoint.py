@@ -212,3 +212,38 @@ def test_load_obs_normalizer_gated_by_metadata(tmp_path):
     )
     path2 = mgr.save(5, params, {}, {}, meta2)
     assert CheckpointManager.load_obs_normalizer(path2) is None
+
+
+def test_fetch_tree_single_transfer_roundtrip():
+    """fetch_tree must return bit-identical host leaves for mixed-dtype
+    trees (incl. int8 vs uint8, whose naive concatenation would type-
+    promote and corrupt offsets), non-array passthroughs, and empties."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_ppo_tpu.checkpoint import fetch_tree
+
+    tree = {
+        "f32": jnp.arange(12, dtype=jnp.float32).reshape(3, 4) * 0.7,
+        "i8": jnp.asarray([-3, 0, 127, -128], jnp.int8),
+        "u8": jnp.asarray([0, 255, 7], jnp.uint8),
+        "key": jax.random.PRNGKey(5),
+        "bool": jnp.asarray([True, False, True]),
+        "bf16": jnp.asarray(2.25, jnp.bfloat16),
+        "i32": jnp.arange(5, dtype=jnp.int32) - 2,
+        "empty": jnp.zeros((0, 3), jnp.float32),
+        "host": np.arange(4, dtype=np.int64),  # passthrough, never packed
+        "scalar": 11,
+    }
+    out = fetch_tree(tree)
+    ref = jax.tree_util.tree_map(
+        lambda l: np.asarray(l) if hasattr(l, "dtype") else l, tree
+    )
+    for (pa, va), (_, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(out),
+        jax.tree_util.tree_leaves_with_path(ref),
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+        if hasattr(vb, "dtype"):
+            assert np.asarray(va).dtype == vb.dtype, (pa, vb.dtype)

@@ -68,3 +68,24 @@ def test_reference_trainargs_coverage():
     }
     missing = reference_fields - set(TRAIN_OVERRIDE_KEYS)
     assert not missing, f"reference TrainArgs without a CLI override: {missing}"
+
+
+def test_compilation_cache_flag_and_helper(tmp_path, monkeypatch):
+    from burn_ppo_tpu.cli import build_parser
+    from burn_ppo_tpu.utils import enable_compilation_cache
+
+    args = build_parser().parse_args(["train"])
+    assert args.compilation_cache == "auto"
+    args = build_parser().parse_args(["train", "--compilation-cache", "off"])
+    assert enable_compilation_cache(args.compilation_cache) is None
+
+    target = tmp_path / "xla_cache"
+    got = enable_compilation_cache(str(target))
+    assert got == str(target) and target.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(target)
+
+    monkeypatch.setenv("BURN_PPO_COMPILE_CACHE", str(tmp_path / "env_cache"))
+    got = enable_compilation_cache("auto")
+    assert got == str(tmp_path / "env_cache")

@@ -165,3 +165,70 @@ def test_debug_opponents_prints_selection(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[opponents @ step" in out
     assert "wr=" in out and "p=" in out
+
+
+def test_rating_history_incremental_matches_cold_recompute(tmp_path):
+    """The incremental comparison cache (chunks of ComparisonArrays) must
+    give bit-identical ratings to a cold load that expands the full game
+    log at once, across several append->checkpoint->compute cycles,
+    including ties and multi-opponent games."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    h = RatingHistory(tmp_path)
+    names = [f"step_{i:08d}" for i in range(1, 7)]
+    for ci, name in enumerate(names):
+        h.on_checkpoint_saved(name, (ci + 1) * 100)
+        games = []
+        for _ in range(20):
+            n_opp = int(rng.integers(1, 4))
+            opps = [names[int(rng.integers(0, ci + 1))] for _ in range(n_opp)]
+            placements = list(rng.integers(1, n_opp + 2, size=n_opp + 1))
+            if rng.random() < 0.3:  # force ties regularly
+                placements = [1] * (n_opp + 1)
+            games.append((opps, placements))
+        h.record_games_batch(name, games)
+        snap_inc = h.compute()  # exercises the incremental path each cycle
+        cold = RatingHistory.load(tmp_path)
+        snap_cold = cold.compute()
+        assert snap_inc.total_games == snap_cold.total_games
+        assert snap_inc.current_elo == snap_cold.current_elo
+        assert snap_inc.best_elo == snap_cold.best_elo
+        assert snap_inc.best_step == snap_cold.best_step
+        np.testing.assert_array_equal(
+            np.asarray(h._cached_ratings), np.asarray(cold._cached_ratings)
+        )
+
+
+def test_comparison_arrays_roundtrip():
+    from burn_ppo_tpu.selfplay.plackett_luce import (
+        GameResult,
+        arrays_to_comparisons,
+        comparisons_to_arrays,
+        concat_comparison_arrays,
+        expand_games_to_comparisons,
+    )
+
+    games = [
+        GameResult.of([0, 1, 2], [1, 1, 3]),  # tie for first
+        GameResult.of([2, 3], [2, 1]),
+        GameResult.of([0, 1, 2, 3], [4, 3, 2, 1]),
+    ]
+    comps = expand_games_to_comparisons(games)
+    arrays = comparisons_to_arrays(comps)
+    back = arrays_to_comparisons(arrays)
+    assert len(back) == len(comps)
+    for a, b in zip(comps, back):
+        assert a.winner == b.winner
+        assert a.losers == b.losers
+        assert a.weight == b.weight
+    # chunked concat == single expansion
+    half = comparisons_to_arrays(expand_games_to_comparisons(games[:1]))
+    rest = comparisons_to_arrays(expand_games_to_comparisons(games[1:]))
+    joined = concat_comparison_arrays([half, rest])
+    import numpy as np
+
+    np.testing.assert_array_equal(joined.winners, arrays.winners)
+    np.testing.assert_array_equal(joined.counts, arrays.counts)
+    np.testing.assert_array_equal(joined.losers, arrays.losers)
+    np.testing.assert_array_equal(joined.weights, arrays.weights)

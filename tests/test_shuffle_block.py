@@ -86,3 +86,59 @@ def test_tiled_update_still_trains():
     assert abs(
         float(outs["exact"]["approx_kl"]) - float(outs["tiled"]["approx_kl"])
     ) < 0.05
+
+
+def test_uneven_minibatch_split_matches_explicit_padding():
+    """N % nmb != 0: the internal pad (wrapped rows, valid=0, up to
+    nmb*ceil(N/nmb)) must be BIT-IDENTICAL to handing ppo_update an
+    already-even batch with the same explicit valid-zeroed rows appended
+    — i.e. every real sample is used every epoch and pad rows contribute
+    nothing (reference uneven split, ppo.rs:1811-1831)."""
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.models.network import make_network
+    from burn_ppo_tpu.ppo.update import (
+        PPOUpdateConfig,
+        make_optimizer,
+        ppo_update,
+    )
+
+    env = make_env("cartpole")
+    net = make_network(env.spec, network_type="mlp", hidden_size=16,
+                       num_hidden=1, activation="tanh")
+    N, nmb = 1022, 4  # ceil -> 256, pad 2
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 7)
+    data = {
+        "obs": jax.random.normal(ks[0], (N, 5)),
+        "actions": jax.random.randint(ks[1], (N,), 0, 2),
+        "old_log_probs": jnp.log(jnp.full((N,), 0.5)),
+        "advantages": jax.random.normal(ks[2], (N,)),
+        "returns": jax.random.normal(ks[3], (N,)),
+        "old_values": jnp.zeros((N,)),
+        "valid": jnp.ones((N,)),
+    }
+    pad = nmb * (-(-N // nmb)) - N
+    data_even = {
+        k: jnp.concatenate([v, v[:pad]], axis=0) for k, v in data.items()
+    }
+    data_even["valid"] = data_even["valid"].at[N:].set(0.0)
+
+    cfg = PPOUpdateConfig(num_epochs=2, num_minibatches=nmb)
+    tx = make_optimizer(cfg)
+    params = net.init(ks[4])
+    outs = []
+    for d in (data, data_even):
+        p, o, _, m = ppo_update(
+            net, tx, params, tx.init(params), d, None, ks[5],
+            jnp.float32(1e-3), jnp.float32(0.01), cfg,
+        )
+        outs.append((p, m))
+    (p_a, m_a), (p_b, m_b) = outs
+    for la, lb in zip(jax.tree_util.tree_leaves(p_a),
+                      jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for k in m_a:
+        np.testing.assert_array_equal(
+            np.asarray(m_a[k]), np.asarray(m_b[k]), err_msg=k
+        )
+    assert float(m_a["num_minibatch_updates"]) == 2.0 * nmb
