@@ -88,6 +88,7 @@ def collect_rollouts_with_opponents(
     num_steps: int,
     num_learner_envs: int,
     num_slots: int,
+    num_active=None,  # traced i32 <= num_slots, or None (= num_slots)
     obs_clip: float = 10.0,
     env_context: Optional[dict] = None,
 ) -> Tuple[RolloutCarry, PoolSeating, RolloutBatch, PoolStepLog]:
@@ -203,8 +204,18 @@ def collect_rollouts_with_opponents(
         new_learner_seat = jnp.where(
             dones & ~is_selfplay, new_seats, seat.learner_seat
         )
+        # Slot resampling is bounded by the TRACED active count so the
+        # compiled program's shape is independent of how many opponents
+        # the rotation actually has — the stacked axis stays num_slots
+        # (padded with duplicates that are never selected), and the pool
+        # growing from 1 to max_active opponents costs zero recompiles.
+        slot_hi = (
+            jnp.maximum(num_active, 1)
+            if num_active is not None
+            else max(num_slots, 1)
+        )
         new_slots = jax.random.randint(
-            k_slot, (E, P), 0, max(num_slots, 1)
+            k_slot, (E, P), 0, slot_hi
         ).astype(jnp.int32)
         new_seat_opp = jnp.where(dones[:, None], new_slots, seat.seat_opp)
 

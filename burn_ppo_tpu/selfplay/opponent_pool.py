@@ -200,17 +200,26 @@ class OpponentPool:
             self._device_cache.popitem(last=False)
         return entry
 
-    def refresh_rotation(self) -> Optional[Tuple[Any, Any, List[str]]]:
+    def refresh_rotation(
+        self, pad_to: Optional[int] = None
+    ) -> Optional[Tuple[Any, Any, List[str]]]:
         """Sample this rotation's opponents and stack their params.
 
         Returns (stacked_params, stacked_obs_norm_or_None, names), or None
-        if the pool is empty."""
+        if the pool is empty. ``pad_to``: pad the stacked axis to this
+        many slots by repeating the first opponent — keeps the compiled
+        train program's shape constant while the pool grows (the trainer
+        bounds slot sampling by len(names), so padded slots are never
+        seated and never produce records)."""
         if not self.stats:
             return None
         self.active = self.sample_active()
         names = tuple(self.active)
+        load_names = names
+        if pad_to is not None and len(names) < pad_to:
+            load_names = names + (names[0],) * (pad_to - len(names))
         if jax.process_count() == 1:
-            loaded = [self._load_params_device(n) for n in names]
+            loaded = [self._load_params_device(n) for n in load_names]
             params_list = [p for p, _ in loaded]
             norms = [n for _, n in loaded]
             stacked = _stack_trees(params_list)
@@ -220,7 +229,7 @@ class OpponentPool:
                 else None
             )
         else:
-            loaded = [self._load_params(n) for n in names]
+            loaded = [self._load_params(n) for n in load_names]
             params_list = [p for p, _ in loaded]
             norms = [n for _, n in loaded]
             stack = lambda *xs: np.stack([np.asarray(x) for x in xs])

@@ -356,7 +356,8 @@ def make_pool_train_step(
     has_shaping = "shaping_coef" in getattr(env, "context_fields", ())
 
     def train_step(state: TrainState, seating: PoolSeating, opp_params,
-                   opp_obs_norm, lr, ent_coef, shaping_coef):
+                   opp_obs_norm, lr, ent_coef, shaping_coef,
+                   num_active=None):
         from burn_ppo_tpu.ppo.episode_stats import summarize_episode_logs
 
         ctx = {"shaping_coef": shaping_coef} if has_shaping else None
@@ -366,6 +367,7 @@ def make_pool_train_step(
             num_steps=cfg.num_steps,
             num_learner_envs=num_learner_envs,
             num_slots=num_slots,
+            num_active=num_active,
             env_context=ctx,
         )
         new_state, metrics = _finish_step(
@@ -453,12 +455,13 @@ def make_pool_train_window(
         )
 
     def window(state: TrainState, seating: PoolSeating, opp_params,
-               opp_obs_norm, lrs, ent_coefs, shaping_coefs):
+               opp_obs_norm, lrs, ent_coefs, shaping_coefs,
+               num_active=None):
         def body(c, xs):
             s, seat = c
             lr, ec, sc = xs
             s2, seat2, metrics, lstats, records = step(
-                s, seat, opp_params, opp_obs_norm, lr, ec, sc
+                s, seat, opp_params, opp_obs_norm, lr, ec, sc, num_active
             )
             return (s2, seat2), (metrics, lstats, records)
 
@@ -1158,7 +1161,16 @@ class Trainer:
 
                 t0 = time.time()
                 updates_done = 1
-                rotation = self.pool.refresh_rotation() if self.pool else None
+                # Stacked-slot axis padded to the config maximum: the
+                # pool growing 1 -> max_active opponents then costs zero
+                # window recompiles (slot sampling is bounded by the
+                # traced active count, so padded slots are never seated).
+                pad_slots = max(self.cfg.max_active_opponents, 1)
+                rotation = (
+                    self.pool.refresh_rotation(pad_to=pad_slots)
+                    if self.pool
+                    else None
+                )
                 if rotation is not None:
                     opp_params, opp_norm, active_names = rotation
                     if cfg.debug_opponents and not self.quiet:
@@ -1216,13 +1228,13 @@ class Trainer:
                             broadcast_from_primary(np.asarray([k], np.int32))[0]
                         )
                     lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
-                    window_fn = self._get_pool_window(K, k)
+                    window_fn = self._get_pool_window(pad_slots, k)
                     (
                         self.state, self.seating, metrics, learner_stats,
                         pool_records,
                     ) = window_fn(
                         self.state, self.seating, opp_params, opp_norm,
-                        lrs, ecs, scs,
+                        lrs, ecs, scs, jnp.asarray(K, jnp.int32),
                     )
                     # The device-compacted record buffer is computed from
                     # the GLOBAL log (XLA inserts the collectives), so

@@ -151,3 +151,59 @@ def test_pool_window_w1_matches_single_step():
     rows_seq = extract_pool_records(jax.device_get(rec), 2)
     np.testing.assert_array_equal(rows_win, rows_seq)
     assert float(m["policy_loss"]) == float(wm["policy_loss"])
+
+
+def test_padded_slots_with_num_active_match_exact_k():
+    """A window compiled with num_slots=K_pad (stacked axis padded with
+    duplicate opponents) and the traced active count num_active=K must
+    be BIT-IDENTICAL to the exact num_slots=K window: slot sampling
+    bounds by num_active, so padded slots are never seated (this is what
+    lets the pool grow to max_active with zero recompiles)."""
+    cfg = Config(
+        env="connect_four", num_envs=16, num_steps=8, total_steps=10**9,
+        hidden_size=8, num_hidden=1, num_minibatches=2, num_epochs=1,
+        seed=0, opponent_pool_fraction=0.25,
+    )
+    env, net, tx, state, seating, L, opp_params = build(cfg, 2)
+    w = 2
+    lrs, ecs, scs = _schedules(w)
+
+    exact = jax.jit(make_pool_train_window(net, env, cfg, tx, L, K))
+    s_a, seat_a, m_a, st_a, rec_a = exact(
+        state, seating, opp_params, None, lrs, ecs, scs,
+        jnp.asarray(K, jnp.int32),
+    )
+
+    K_pad = K + 3
+    pad = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x] + [x[:1]] * (K_pad - K), axis=0
+        ),
+        opp_params,
+    )
+    padded = jax.jit(make_pool_train_window(net, env, cfg, tx, L, K_pad))
+    s_b, seat_b, m_b, st_b, rec_b = padded(
+        state, seating, pad, None, lrs, ecs, scs,
+        jnp.asarray(K, jnp.int32),
+    )
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(s_a.params),
+        jax.tree_util.tree_leaves(s_b.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for k_ in m_a:
+        np.testing.assert_allclose(
+            np.asarray(m_a[k_]), np.asarray(m_b[k_]), rtol=0, atol=0,
+            err_msg=k_,
+        )
+    na, nb = int(rec_a["count"]), int(rec_b["count"])
+    assert na == nb
+    rows_a = np.asarray(rec_a["rows"][:na])
+    rows_b = np.asarray(rec_b["rows"][:nb])
+    np.testing.assert_array_equal(rows_a, rows_b)
+    # no padded slot ever seated
+    P = env.spec.num_players
+    if nb:
+        assert rows_b[:, 1:P].max() < K
+    assert int(jnp.max(seat_b.seat_opp)) < K
