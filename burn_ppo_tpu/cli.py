@@ -280,13 +280,15 @@ def run_train(args, argv=None) -> int:
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else None
         )
-    from burn_ppo_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache(args.compilation_cache)
     if args.multihost:
+        # Must precede anything that initializes the XLA backend —
+        # including the compilation-cache "auto" gate's backend probe.
         from burn_ppo_tpu.parallel.distributed import maybe_initialize
 
         maybe_initialize(force=True)
+    from burn_ppo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
     from burn_ppo_tpu.train import Trainer
 
     overrides = collect_overrides(args)

@@ -577,8 +577,11 @@ def run_stats_mode(
     stats = EvalStats([s.name for s in sources], P)
     while stats.total_games < num_games:
         carry, (logs, perm_hist) = run_chunk(carry)
-        logs = jax.device_get(logs)
-        perm_hist = np.asarray(jax.device_get(perm_hist))  # [T, E]
+        from burn_ppo_tpu.checkpoint import fetch_tree
+
+        fetched = fetch_tree({"logs": logs, "perm": perm_hist})
+        logs = fetched["logs"]
+        perm_hist = np.asarray(fetched["perm"])  # [T, E]
         completed = np.asarray(logs.completed)  # [T, E]
         outcomes = np.asarray(logs.outcome)  # [T, E, P]
         totals = np.asarray(logs.total_rewards)  # [T, E, P]

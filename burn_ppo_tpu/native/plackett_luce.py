@@ -32,6 +32,7 @@ def _get_lib():
         ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p, f64p,
         i32p, ctypes.c_int32,
+        f64p,  # init_gammas (nullable warm start)
         ctypes.c_int32, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double,
         f64p, f64p, i32p, f64p, i32p,
@@ -46,7 +47,7 @@ def available() -> bool:
 
 def compute(
     num_players: int,
-    comparisons,  # Sequence[_Comparison]
+    comparisons,  # Sequence[_Comparison] | ComparisonArrays
     games_played: np.ndarray,
     anchor_idx: int,
     max_iterations: int,
@@ -54,6 +55,7 @@ def compute(
     epsilon: float,
     anchor_elo: float,
     ci_inflation: float,
+    init_gammas: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, int, float, bool]]:
     """Run the native engine; None when the library is unavailable.
 
@@ -94,11 +96,18 @@ def compute(
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    if init_gammas is not None:
+        ig = np.ascontiguousarray(init_gammas, dtype=np.float64)
+        if ig.shape[0] != num_players:
+            ig = None
+    else:
+        ig = None
     rc = lib.pl_compute(
         num_players, C,
         ptr(winners, ctypes.c_int32), ptr(offsets, ctypes.c_int32),
         ptr(losers, ctypes.c_int32), ptr(weights, ctypes.c_double),
         ptr(gp, ctypes.c_int32), anchor_idx,
+        None if ig is None else ptr(ig, ctypes.c_double),
         max_iterations, convergence_threshold, epsilon,
         anchor_elo, ci_inflation,
         ptr(ratings, ctypes.c_double), ptr(uncertainties, ctypes.c_double),

@@ -41,6 +41,13 @@ _stack_trees = jax.jit(
     lambda trees: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 )
 
+# Deep device copy producing guaranteed-fresh buffers (x+0 can't alias
+# its input) — used to snapshot live training params into the device
+# cache, since the train step donates its state buffers.
+_copy_tree = jax.jit(
+    lambda t: jax.tree_util.tree_map(lambda x: x + jnp.zeros_like(x), t)
+)
+
 
 @dataclass
 class OpponentStats:
@@ -199,6 +206,23 @@ class OpponentPool:
         while len(self._device_cache) > self._cache_size:
             self._device_cache.popitem(last=False)
         return entry
+
+    def seed_device_cache(self, name: str, params: Any, obs_norm: Any) -> None:
+        """Populate the device cache for a just-saved checkpoint straight
+        from the live training state — the first rotation that samples it
+        then skips the disk read + per-leaf host->device upload
+        entirely. Deep-copies on device because the caller's buffers are
+        donated into the next train step."""
+        if jax.process_count() != 1:
+            return
+        entry = (
+            _copy_tree(params),
+            None if obs_norm is None else _copy_tree(obs_norm),
+        )
+        self._device_cache[name] = entry
+        self._device_cache.move_to_end(name)
+        while len(self._device_cache) > self._cache_size:
+            self._device_cache.popitem(last=False)
 
     def refresh_rotation(
         self, pad_to: Optional[int] = None

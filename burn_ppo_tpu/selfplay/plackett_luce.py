@@ -250,13 +250,21 @@ def compute_ratings_from_comparisons(
     games_played: np.ndarray,
     anchor_player_idx: int,
     config: PlackettLuceConfig = PlackettLuceConfig(),
+    init_gammas: Optional[np.ndarray] = None,
 ) -> RatingResult:
     """Rate from pre-expanded comparisons (list or flat-array form).
 
     This is the incremental-rating entry: RatingHistory caches expanded
     comparisons across checkpoints (the game log is append-only) and
     passes ComparisonArrays straight to the native engine, skipping the
-    per-checkpoint re-expansion of the full log."""
+    per-checkpoint re-expansion of the full log.
+
+    ``init_gammas`` warm-starts the MM iteration. The PL MLE (centered)
+    is the unique fixed point, so a warm start converges to the same
+    ratings within convergence_threshold — callers should only pass it
+    when the PREVIOUS solve converged (a non-converged solve means a
+    participated-never-won player is running off to -inf, where the
+    reference's from-zero trajectory is the defined behavior)."""
     t0 = time.perf_counter()
 
     def _done(ratings, converged=True, iters=0, delta=0.0):
@@ -284,6 +292,7 @@ def compute_ratings_from_comparisons(
         num_players, comparisons, games_played, anchor_player_idx,
         config.max_iterations, config.convergence_threshold, config.epsilon,
         config.anchor_elo, config.ci_inflation_factor,
+        init_gammas=init_gammas,
     )
     if native_out is not None:
         n_ratings, n_unc, iters, delta, converged = native_out
@@ -301,6 +310,10 @@ def compute_ratings_from_comparisons(
         comparisons = arrays_to_comparisons(comparisons)
 
     gammas = np.zeros(num_players)
+    if init_gammas is not None and len(init_gammas) == num_players:
+        gammas = np.where(
+            np.isfinite(init_gammas), np.asarray(init_gammas, np.float64), 0.0
+        )
     converged, iters, delta = False, 0, float("inf")
     for it in range(config.max_iterations):
         iters = it + 1

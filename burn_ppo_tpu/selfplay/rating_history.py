@@ -58,29 +58,118 @@ class RatingHistory:
         self._expanded_upto: int = 0
         self._chunks: List[ComparisonArrays] = []
         self._games_played = np.zeros(0, dtype=np.int64)
+        # Warm start for the MM solve: previous gammas, used only when
+        # the previous solve CONVERGED (unique fixed point -> identical
+        # ratings within threshold; a diverging never-won player keeps
+        # the reference's from-zero trajectory instead).
+        self._warm_gammas: Optional[np.ndarray] = None
+        self._cache_saved_upto: int = 0
 
     # ------------------------------------------------------------------
     @staticmethod
     def load(run_dir: str | Path) -> "RatingHistory":
         h = RatingHistory(run_dir)
+        cached_upto = h._load_cache()  # registers cached player indices
         if h.metadata_path.exists():
             meta = json.loads(h.metadata_path.read_text())
             for name, step in meta.get("checkpoint_steps", {}).items():
-                h._register(name, int(step))
+                idx = h._register(name, int(step))
+                h.idx_to_step[idx] = int(step)
             first = meta.get("first_checkpoint")
             if first in h.checkpoint_to_idx:
                 h.first_checkpoint_idx = h.checkpoint_to_idx[first]
             h.current_checkpoint = meta.get("current_checkpoint")
         if h.games_path.exists():
-            for line in h.games_path.read_text().splitlines():
-                if not line.strip():
-                    continue
+            lines = [
+                l for l in h.games_path.read_text().splitlines() if l.strip()
+            ]
+            if cached_upto > len(lines):
+                # jsonl shrank under the cache — cache is stale; rebuild.
+                h._reset_cache()
+                cached_upto = 0
+            # Games the cache already covers never need re-parsing; keep
+            # placeholders so indices/total counts stay correct.
+            h.games = [None] * cached_upto
+            h._expanded_upto = cached_upto
+            for line in lines[cached_upto:]:
                 game = json.loads(line)
                 h.games.append(game)
                 h._register(game["current"], 0)
                 for o in game["opponents"]:
                     h._register(o, 0)
+        elif cached_upto:
+            h._reset_cache()
         return h
+
+    # ------------------------------------------------------------------
+    @property
+    def cache_path(self) -> Path:
+        return self.run_dir / "rating_cache.npz"
+
+    def _reset_cache(self) -> None:
+        self.games = []
+        self.checkpoint_to_idx = {}
+        self.idx_to_checkpoint = []
+        self.idx_to_step = []
+        self._expanded_upto = 0
+        self._chunks = []
+        self._games_played = np.zeros(0, dtype=np.int64)
+        self._warm_gammas = None
+        self._cache_saved_upto = 0
+
+    def _load_cache(self) -> int:
+        """Restore the expanded-comparison cache written by _save_cache;
+        returns the number of games it covers (0 = no/invalid cache)."""
+        if not self.cache_path.exists():
+            return 0
+        try:
+            with np.load(self.cache_path, allow_pickle=False) as z:
+                names = [str(s) for s in z["names"]]
+                steps = z["steps"]
+                for name, step in zip(names, steps):
+                    self._register(name, int(step))
+                self._chunks = [
+                    ComparisonArrays(
+                        z["winners"], z["counts"], z["losers"], z["weights"]
+                    )
+                ]
+                self._games_played = z["games_played"].astype(np.int64)
+                if "warm_gammas" in z.files:
+                    self._warm_gammas = z["warm_gammas"]
+                self._cache_saved_upto = int(z["num_games"])
+                return int(z["num_games"])
+        except Exception:
+            self._reset_cache()
+            return 0
+
+    def _save_cache(self) -> None:
+        """Persist the expanded comparisons + per-player game counts so a
+        new process (supervisor child, resume) skips re-parsing and
+        re-expanding the full jsonl (tens of seconds at 1M+ games)."""
+        if not self._chunks or self._expanded_upto == 0:
+            return
+        arrays = (
+            self._chunks[0]
+            if len(self._chunks) == 1
+            else concat_comparison_arrays(self._chunks)
+        )
+        self._chunks = [arrays]
+        tmp = self.cache_path.with_suffix(".npz.tmp")
+        payload = dict(
+            names=np.asarray(self.idx_to_checkpoint),
+            steps=np.asarray(self.idx_to_step, np.int64),
+            winners=arrays.winners,
+            counts=arrays.counts,
+            losers=arrays.losers,
+            weights=arrays.weights,
+            games_played=self._games_played,
+            num_games=np.int64(self._expanded_upto),
+        )
+        if self._warm_gammas is not None:
+            payload["warm_gammas"] = self._warm_gammas
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        tmp.rename(self.cache_path)
 
     def _register(self, name: str, step: int) -> int:
         if name in self.checkpoint_to_idx:
@@ -149,6 +238,13 @@ class RatingHistory:
         self.current_checkpoint = checkpoint_name
         self._cached_ratings = None
         self._save_metadata()
+        # Persist the comparison cache once it has grown enough to make
+        # the write (tens of MB at 1M+ games) worth the cold-load save;
+        # a new process re-parses only the jsonl tail past the cache.
+        grown = self._expanded_upto - self._cache_saved_upto
+        if grown >= max(100_000, self._cache_saved_upto // 4):
+            self._save_cache()
+            self._cache_saved_upto = self._expanded_upto
 
     # ------------------------------------------------------------------
     def compute(self) -> RatingSnapshot:
@@ -191,9 +287,18 @@ class RatingHistory:
         else:
             arrays = comparisons_to_arrays([])
 
+        init = None
+        if self._warm_gammas is not None and len(self._warm_gammas) <= n:
+            init = np.zeros(n)
+            init[: len(self._warm_gammas)] = self._warm_gammas
         result = compute_ratings_from_comparisons(
-            n, arrays, games_played[:n], 0, PlackettLuceConfig()
+            n, arrays, games_played[:n], 0, PlackettLuceConfig(), init_gammas=init
         )
+        from burn_ppo_tpu.selfplay.plackett_luce import ELO_SCALE
+
+        self._warm_gammas = (
+            np.asarray([r.rating for r in result.ratings]) - 1500.0
+        ) / ELO_SCALE if result.stats.converged else None
         raw = [r.rating for r in result.ratings]
         first = self.first_checkpoint_idx or 0
         shift = 1000.0 - raw[first]

@@ -817,6 +817,14 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self) -> Optional[Path]:
+        t0 = time.time()
+        out = self._save_checkpoint_inner()
+        # Wall spent off the device per checkpoint (fetch+write+rating+
+        # graphs) — the series that exposed the per-leaf fetch stalls.
+        self._last_elo["perf/checkpoint_time"] = time.time() - t0
+        return out
+
+    def _save_checkpoint_inner(self) -> Optional[Path]:
         # Env-sharded leaves (the return normalizer's per-env rolling
         # returns) span processes; host 0 cannot fetch them directly. ALL
         # hosts run one replicating identity-jit (a device all-gather)
@@ -888,6 +896,11 @@ class Trainer:
         if self.pool is not None:
             name = path.name
             self.pool.add_checkpoint(name, self.global_step)
+            # Seed the opponent device cache from the live state: the
+            # first rotation sampling this checkpoint skips the disk
+            # read + per-leaf upload (a multi-second cost per new
+            # checkpoint through a remote device).
+            self.pool.seed_device_cache(name, state.params, state.obs_norm)
             self.rating_history.on_checkpoint_saved(name, self.global_step)
             snap = self.rating_history.compute()
             self._last_elo = {
@@ -972,6 +985,67 @@ class Trainer:
                 donate_argnums=(0, 1),
             )
         return self._pool_windows[key]
+
+    def _start_pool_window_precompile(self) -> None:
+        """Warm the main pool-window executable in a background thread.
+
+        The pool path only activates after the FIRST checkpoint joins
+        the pool, so its (large) program otherwise compiles exactly when
+        training is mid-flight — a multi-minute stall on remote
+        devices. A daemon thread runs one dummy window on zeroed state
+        (same shapes/dtypes → same executable cache entry; outputs
+        discarded) while the pre-pool phase trains. Single-process only:
+        one-process dispatch would desync a multi-host pod."""
+        if (
+            self.pool is None
+            or not self.use_windows
+            or self.multihost
+            or self.cfg.opponent_pool_fraction <= 0
+        ):
+            return
+        import threading
+
+        pad_slots = max(self.cfg.max_active_opponents, 1)
+        spu = self.cfg.num_steps * self.num_envs
+        room = max(
+            1, min(self.cfg.log_freq, self.cfg.checkpoint_freq) // spu
+        )
+        k = 1
+        while k * 2 <= min(max(self.cfg.pool_rotation_interval, 1), 64, room):
+            k *= 2
+        window_fn = self._get_pool_window(pad_slots, k)
+
+        def zeros_like_tree(t):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, x.dtype), t
+            )
+
+        state_z = zeros_like_tree(self.state)
+        seat_z = zeros_like_tree(self.seating)
+        opp_z = jax.tree_util.tree_map(
+            lambda x: jnp.zeros((pad_slots,) + x.shape, x.dtype),
+            self.state.params,
+        )
+        norm_z = (
+            jax.tree_util.tree_map(
+                lambda x: jnp.zeros((pad_slots,) + x.shape, x.dtype),
+                self.state.obs_norm,
+            )
+            if self.state.obs_norm is not None
+            else None
+        )
+        sched_z = jnp.zeros((k,), jnp.float32)
+
+        def warm():
+            try:
+                window_fn(
+                    state_z, seat_z, opp_z, norm_z,
+                    sched_z, sched_z, sched_z, jnp.asarray(1, jnp.int32),
+                )
+            except Exception:
+                pass  # warm-up only; the real call will surface errors
+
+        threading.Thread(target=warm, daemon=True).start()
 
     def _apply_pool_records(self, rows: np.ndarray, active_names) -> None:
         """Fold globally-identical game records into win-rate queues (all
@@ -1060,6 +1134,7 @@ class Trainer:
 
         from burn_ppo_tpu.progress import TrainingProgress
 
+        self._start_pool_window_precompile()
         progress = TrainingProgress(
             cfg.total_steps,
             start_step=self.global_step,

@@ -88,13 +88,25 @@ def enable_compilation_cache(spec: str | None = "auto"):
     if spec in (None, "off"):
         return None
     if spec == "auto":
-        spec = os.environ.get("BURN_PPO_COMPILE_CACHE") or str(
-            Path(
-                os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
+        spec = os.environ.get("BURN_PPO_COMPILE_CACHE")
+        if spec is None:
+            # Default-on only for accelerator backends: XLA:CPU caches
+            # AOT machine code whose target features may not match the
+            # executing host (observed SIGILL-risk warnings + wedged
+            # processes); TPU executables are where the win is anyway.
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return None
+            spec = str(
+                Path(
+                    os.environ.get(
+                        "XDG_CACHE_HOME", Path.home() / ".cache"
+                    )
+                )
+                / "burn_ppo_tpu"
+                / "xla_cache"
             )
-            / "burn_ppo_tpu"
-            / "xla_cache"
-        )
     path = Path(spec)
     path.mkdir(parents=True, exist_ok=True)
     import jax

@@ -83,6 +83,7 @@ int pl_compute(
     const int32_t* winners, const int32_t* loser_offsets,
     const int32_t* losers, const double* weights,
     const int32_t* games_played, int32_t anchor_idx,
+    const double* init_gammas,  // nullable warm start (same fixed point)
     int32_t max_iterations, double convergence_threshold, double epsilon,
     double anchor_elo, double ci_inflation,
     double* out_ratings, double* out_uncertainties,
@@ -95,6 +96,9 @@ int pl_compute(
   if (n == 0) return 0;
 
   std::vector<double> gammas(n, 0.0), new_g(n), wins(n), denom(n), exp_g(n);
+  if (init_gammas != nullptr)
+    for (int i = 0; i < n; ++i)
+      gammas[i] = std::isfinite(init_gammas[i]) ? init_gammas[i] : 0.0;
   bool converged = false;
   double delta = 0.0;
   int iters = 0;

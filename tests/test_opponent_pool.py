@@ -169,9 +169,12 @@ def test_debug_opponents_prints_selection(tmp_path, capsys):
 
 def test_rating_history_incremental_matches_cold_recompute(tmp_path):
     """The incremental comparison cache (chunks of ComparisonArrays) must
-    give bit-identical ratings to a cold load that expands the full game
-    log at once, across several append->checkpoint->compute cycles,
-    including ties and multi-opponent games."""
+    reproduce a cold load that expands the full game log at once, across
+    several append->checkpoint->compute cycles, including ties and
+    multi-opponent games. The incremental path warm-starts the MM solve
+    from the previous converged gammas — the PL MLE is a unique fixed
+    point, so ratings agree within the convergence threshold (sub-0.01
+    Elo), not bit-for-bit."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -192,11 +195,12 @@ def test_rating_history_incremental_matches_cold_recompute(tmp_path):
         cold = RatingHistory.load(tmp_path)
         snap_cold = cold.compute()
         assert snap_inc.total_games == snap_cold.total_games
-        assert snap_inc.current_elo == snap_cold.current_elo
-        assert snap_inc.best_elo == snap_cold.best_elo
+        assert abs(snap_inc.current_elo - snap_cold.current_elo) < 1e-2
+        assert abs(snap_inc.best_elo - snap_cold.best_elo) < 1e-2
         assert snap_inc.best_step == snap_cold.best_step
-        np.testing.assert_array_equal(
-            np.asarray(h._cached_ratings), np.asarray(cold._cached_ratings)
+        np.testing.assert_allclose(
+            np.asarray(h._cached_ratings), np.asarray(cold._cached_ratings),
+            atol=1e-2, rtol=0,
         )
 
 
@@ -232,3 +236,88 @@ def test_comparison_arrays_roundtrip():
     np.testing.assert_array_equal(joined.counts, arrays.counts)
     np.testing.assert_array_equal(joined.losers, arrays.losers)
     np.testing.assert_array_equal(joined.weights, arrays.weights)
+
+
+def test_seed_device_cache_matches_disk_load(tmp_path):
+    """seed_device_cache must give the same rotation params as loading
+    the checkpoint back from disk, and must deep-copy (caller buffers
+    are donated)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.models.network import make_network
+    from burn_ppo_tpu.selfplay.opponent_pool import OpponentPool
+
+    env = make_env("connect_four")
+    net = make_network(env.spec, network_type="mlp", hidden_size=8,
+                       num_hidden=1, activation="tanh")
+    params = net.init(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(tmp_path)
+    meta = build_metadata(
+        step=64, env_name="connect_four", network=net, num_players=2,
+        avg_return=0.0, best_avg_return=None, recent_returns=[],
+        forked_from=None, rng_seed=0, normalize_obs=False,
+        normalize_values=False,
+    )
+    path = ckpt.save(64, params, jax.tree_util.tree_map(jnp.zeros_like, params), {}, meta)
+
+    pool = OpponentPool(tmp_path, seed=0)
+    pool.add_checkpoint(path.name, 64)
+    pool.seed_device_cache(path.name, params, None)
+    seeded, _norm = pool._device_cache[path.name]
+    fresh = OpponentPool(tmp_path, seed=0)
+    loaded, _ = fresh._load_params_device(path.name)
+    for a, b, orig in zip(jax.tree_util.tree_leaves(seeded),
+                          jax.tree_util.tree_leaves(loaded),
+                          jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a is not orig  # deep copy, not an alias
+
+
+def test_rating_cache_persistence_roundtrip(tmp_path):
+    """rating_cache.npz lets a new process (supervisor child) skip
+    re-expanding the full game log: ratings after a cached load must
+    match a cold load, including games appended AFTER the cache was
+    written (tail re-parse) and a stale cache (truncated jsonl) must be
+    ignored."""
+    import numpy as np
+
+    h = RatingHistory(tmp_path)
+    names = [f"step_{i:08d}" for i in range(1, 5)]
+    rng = np.random.default_rng(1)
+    for ci, name in enumerate(names):
+        h.on_checkpoint_saved(name, (ci + 1) * 100)
+        games = []
+        for _ in range(30):
+            opp = names[int(rng.integers(0, ci + 1))]
+            games.append(([opp], list(map(int, rng.permutation(2) + 1))))
+        h.record_games_batch(name, games)
+        h.compute()
+    h._save_cache()
+    h._cache_saved_upto = h._expanded_upto
+    # tail games after the cache write
+    h.record_games_batch(names[-1], [([names[0]], [1, 2])] * 10)
+
+    cold = RatingHistory(tmp_path / "nocache")  # fresh dir trick not needed:
+    cold = RatingHistory.load(tmp_path)
+    assert cold._cache_saved_upto == 120  # cache actually used
+    assert cold.games[:120] == [None] * 120  # not re-parsed
+    s_cached = cold.compute()
+
+    (tmp_path / "rating_cache.npz").unlink()
+    full = RatingHistory.load(tmp_path)
+    s_cold = full.compute()
+    assert s_cached.total_games == s_cold.total_games == 130
+    assert abs(s_cached.current_elo - s_cold.current_elo) < 1e-2
+    assert abs(s_cached.best_elo - s_cold.best_elo) < 1e-2
+
+    # stale cache: jsonl truncated below the watermark -> ignored
+    full._save_cache()
+    lines = (tmp_path / "rating_games.jsonl").read_text().splitlines()
+    (tmp_path / "rating_games.jsonl").write_text("\n".join(lines[:50]) + "\n")
+    stale = RatingHistory.load(tmp_path)
+    assert stale._expanded_upto == 0
+    assert stale.compute().total_games == 50

@@ -149,3 +149,53 @@ def test_elo_scale_win_probability_guide():
     gap = 400.0 / ELO_SCALE
     p = 1.0 / (1.0 + np.exp(-gap))
     assert p == pytest.approx(0.91, abs=0.01)
+
+
+def test_warm_start_converges_to_same_ratings():
+    """init_gammas warm-starts the MM at the unique (centered) PL MLE
+    fixed point: ratings from a warm start must match a cold solve
+    within the convergence threshold, in both the native engine and the
+    pure-Python fallback."""
+    import numpy as np
+
+    from burn_ppo_tpu.selfplay.plackett_luce import (
+        ELO_SCALE,
+        GameResult,
+        PlackettLuceConfig,
+        comparisons_to_arrays,
+        compute_ratings,
+        compute_ratings_from_comparisons,
+        expand_games_to_comparisons,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 8
+    games = []
+    for _ in range(300):
+        players = list(map(int, rng.choice(n, size=3, replace=False)))
+        games.append(GameResult.of(players, list(map(int, rng.permutation(3) + 1))))
+
+    cold = compute_ratings(n, games, 0, PlackettLuceConfig())
+    assert cold.stats.converged
+
+    gp = np.zeros(n, np.int64)
+    for g in games:
+        for p in g.players:
+            gp[p] += 1
+    arrays = comparisons_to_arrays(expand_games_to_comparisons(games))
+    init = (np.asarray([r.rating for r in cold.ratings]) - 1500.0) / ELO_SCALE
+    warm = compute_ratings_from_comparisons(
+        n, arrays, gp, 0, PlackettLuceConfig(), init_gammas=init
+    )
+    assert warm.stats.converged
+    assert warm.stats.iterations_used < cold.stats.iterations_used
+    for a, b in zip(cold.ratings, warm.ratings):
+        assert abs(a.rating - b.rating) < 1e-2
+        assert abs(a.uncertainty - b.uncertainty) < 1e-2
+
+
+def test_warm_start_python_fallback_matches(monkeypatch):
+    import numpy as np
+
+    monkeypatch.setenv("BURN_PPO_NO_NATIVE", "1")
+    test_warm_start_converges_to_same_ratings()
