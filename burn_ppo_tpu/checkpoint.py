@@ -136,6 +136,92 @@ def fetch_tree(tree: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+_unpack_cache: Dict[Any, Any] = {}
+
+
+def put_tree(tree: Any) -> Any:
+    """host -> device copy of a pytree in ONE device transfer.
+
+    The upload mirror of fetch_tree: per-leaf jnp.asarray pays one
+    device round trip per leaf (a resumed run uploads ~100 checkpoint
+    leaves + ~30 per pool opponent — minutes of a supervisor respawn on
+    a remote device). Here the host packs every array leaf into one
+    uint8 buffer; a jitted unpacker bitcasts static slices back into
+    the leaves on device."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if jax.process_count() > 1:
+        # Multihost: keep uploads collective-free and trivially correct
+        # (Gloo CPU meshes — transfer cost is irrelevant there).
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [jnp.asarray(l) if hasattr(l, "dtype") else l for l in leaves],
+        )
+    arr_idx = [
+        i
+        for i, l in enumerate(leaves)
+        if hasattr(l, "dtype")
+        and not isinstance(l, jax.Array)
+        and int(np.prod(getattr(l, "shape", ()))) > 0
+    ]
+    if not arr_idx:
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jnp.asarray(l) if hasattr(l, "dtype") else l
+                for l in leaves
+            ],
+        )
+    metas = tuple(
+        (
+            np.dtype(
+                jnp.asarray(np.asarray(leaves[i]).ravel()[:0]).dtype
+                if np.asarray(leaves[i]).dtype
+                in (np.int64, np.uint64, np.float64)
+                else np.asarray(leaves[i]).dtype
+            ),
+            tuple(np.asarray(leaves[i]).shape),
+        )
+        for i in arr_idx
+    )
+    chunks = []
+    for i, (dt, shape) in zip(arr_idx, metas):
+        a = np.ascontiguousarray(np.asarray(leaves[i]), dtype=dt)
+        chunks.append(a.view(np.uint8).ravel())
+    flat = np.concatenate(chunks)
+    key = (treedef, tuple(arr_idx), metas)
+    unpacker = _unpack_cache.get(key)
+    if unpacker is None:
+        def _unpack(buf):
+            out, off = [], 0
+            for dt, shape in metas:
+                n = int(np.prod(shape)) * dt.itemsize
+                seg = buf[off : off + n]
+                off += n
+                if dt == np.bool_:
+                    leaf = seg.astype(jnp.bool_)
+                elif dt.itemsize == 1:
+                    leaf = jax.lax.bitcast_convert_type(
+                        seg, jnp.dtype(dt)
+                    )
+                else:
+                    leaf = jax.lax.bitcast_convert_type(
+                        seg.reshape(-1, dt.itemsize), jnp.dtype(dt)
+                    )
+                out.append(leaf.reshape(shape))
+            return out
+
+        unpacker = jax.jit(_unpack)
+        _unpack_cache[key] = unpacker
+    device_leaves = unpacker(flat)  # flat is the one transfer
+    out = list(leaves)
+    for j, i in enumerate(arr_idx):
+        out[i] = device_leaves[j]
+    for i, l in enumerate(leaves):
+        if i not in set(arr_idx) and hasattr(l, "dtype"):
+            out[i] = jnp.asarray(l) if not isinstance(l, jax.Array) else l
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def load_pytree(path: Path, template: Any) -> Any:
     """Restore a pytree saved by save_pytree using ``template``'s structure."""
     with np.load(io.BytesIO(path.read_bytes())) as data:
@@ -147,11 +233,14 @@ def load_pytree(path: Path, template: Any) -> Any:
             f"Checkpoint at {path} has {len(leaves)} leaves; template expects "
             f"{len(t_leaves)} (architecture mismatch?)"
         )
+    # Cast host-side, then upload the whole file in ONE device transfer
+    # (see put_tree) — a resume touches model+optimizer+aux files whose
+    # ~100 combined leaves would otherwise each pay a device round trip.
     cast = [
-        jnp.asarray(leaf, dtype=t.dtype) if hasattr(t, "dtype") else leaf
+        np.asarray(leaf, dtype=np.dtype(t.dtype)) if hasattr(t, "dtype") else leaf
         for leaf, t in zip(leaves, t_leaves)
     ]
-    return jax.tree_util.tree_unflatten(treedef, cast)
+    return put_tree(jax.tree_util.tree_unflatten(treedef, cast))
 
 
 def _atomic_symlink(link: Path, target: str) -> None:

@@ -90,13 +90,16 @@ def enable_compilation_cache(spec: str | None = "auto"):
     if spec == "auto":
         spec = os.environ.get("BURN_PPO_COMPILE_CACHE")
         if spec is None:
-            # Default-on only for accelerator backends: XLA:CPU caches
-            # AOT machine code whose target features may not match the
-            # executing host (observed SIGILL-risk warnings + wedged
-            # processes); TPU executables are where the win is anyway.
+            # Default-on only for a real local TPU backend. XLA:CPU
+            # caches AOT machine code whose target features may not
+            # match the executing host (observed SIGILL-risk warnings +
+            # wedged processes), and tunneled/proxy platforms (axon)
+            # deserialize cached executables SLOWER than recompiling
+            # (measured 233s cold vs 400s+ warm). Explicit dirs are
+            # always honored.
             import jax
 
-            if jax.default_backend() == "cpu":
+            if jax.default_backend() != "tpu":
                 return None
             spec = str(
                 Path(

@@ -247,3 +247,66 @@ def test_fetch_tree_single_transfer_roundtrip():
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
         if hasattr(vb, "dtype"):
             assert np.asarray(va).dtype == vb.dtype, (pa, vb.dtype)
+
+
+def test_put_tree_single_transfer_roundtrip():
+    """put_tree must upload mixed-dtype host trees in one transfer and
+    return device leaves bit-identical to per-leaf jnp.asarray uploads
+    (incl. bool, sub-word ints, bf16 scalars, empties, passthroughs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_ppo_tpu.checkpoint import put_tree
+
+    tree = {
+        "f32": np.arange(12, dtype=np.float32).reshape(3, 4) * 0.7,
+        "i8": np.asarray([-3, 0, 127, -128], np.int8),
+        "u8": np.asarray([0, 255, 7], np.uint8),
+        "bool": np.asarray([True, False, True]),
+        "bf16": np.asarray(2.25, jnp.bfloat16),
+        "i32": np.arange(5, dtype=np.int32) - 2,
+        "i64": np.arange(4, dtype=np.int64),  # canonicalizes to i32
+        "empty": np.zeros((0, 3), np.float32),
+        "dev": jnp.asarray([1.0, 2.0]),  # already on device, untouched
+        "scalar": 11,
+    }
+    out = put_tree(tree)
+    ref = jax.tree_util.tree_map(
+        lambda l: jnp.asarray(l) if hasattr(l, "dtype") else l, tree
+    )
+    for (pa, va), (_, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(out),
+        jax.tree_util.tree_leaves_with_path(ref),
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+        if hasattr(vb, "dtype"):
+            assert isinstance(va, jax.Array) or not hasattr(va, "shape"), pa
+            assert jnp.asarray(va).dtype == vb.dtype, (pa, vb.dtype)
+
+
+def test_load_pytree_returns_device_arrays(tmp_path):
+    """load_pytree's packed-upload path must land leaves on device with
+    the template's dtypes, bit-identical to what was saved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_ppo_tpu.checkpoint import load_pytree, save_pytree
+
+    tree = {
+        "w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) * 1.3,
+        "b": jnp.asarray([1, -2, 3], jnp.int32),
+        "flag": jnp.asarray([True, False]),
+        "k": jax.random.PRNGKey(7),
+    }
+    p = tmp_path / "t.npz"
+    save_pytree(p, tree)
+    out = load_pytree(p, tree)
+    for (pa, va), (_, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(out),
+        jax.tree_util.tree_leaves_with_path(tree),
+    ):
+        assert isinstance(va, jax.Array), pa
+        assert va.dtype == vb.dtype, pa
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
