@@ -295,8 +295,26 @@ def ppo_update(
     zero_metrics = {k: jnp.zeros(()) for k in METRIC_KEYS}
     grad_fn = jax.value_and_grad(_minibatch_loss, has_aux=True)
 
+    # Uneven-split padding statics (padding itself happens below): when
+    # the pad row count reaches mb_size, a shuffled minibatch can be ALL
+    # pad rows — running it would step Adam on stale momentum with zero
+    # grads and dilute the metric averages with a zero-sum entry, so
+    # mb_body must skip such minibatches.  Statically gated: pad <
+    # mb_size guarantees >=1 real row per minibatch and the guard (and
+    # its lax.cond) compiles away for evenly-divisible configs.
+    if N % nmb != 0:
+        mb_size = -(-N // nmb)
+        pad = nmb * mb_size - N
+    else:
+        pad = 0
+    can_be_all_pad = pad >= mb_size
+
     def mb_body(carry, mb2d):
         params, opt_state, stop, sums, count = carry
+        skip_now = stop
+        if can_be_all_pad:
+            # valid flag is the last packed column.
+            skip_now = stop | (jnp.sum(mb2d[:, -1]) <= 0.0)
 
         def run(operand):
             params, opt_state, sums, count = operand
@@ -311,9 +329,9 @@ def ppo_update(
             new_sums = {k: sums[k] + aux[k] for k in METRIC_KEYS}
             return new_params, new_opt, new_sums, count + 1.0, aux["approx_kl"]
 
-        if cfg.target_kl is None:
-            # No early stop possible — skip the cond wrapper entirely so
-            # XLA can fuse across the minibatch body.
+        if cfg.target_kl is None and not can_be_all_pad:
+            # No early stop or empty-minibatch skip possible — drop the
+            # cond wrapper entirely so XLA can fuse across the body.
             params, opt_state, sums, count, _kl = run(
                 (params, opt_state, sums, count)
             )
@@ -324,12 +342,13 @@ def ppo_update(
             return params, opt_state, sums, count, jnp.zeros(())
 
         params, opt_state, sums, count, kl = jax.lax.cond(
-            stop, skip, run, (params, opt_state, sums, count)
+            skip_now, skip, run, (params, opt_state, sums, count)
         )
-        stop = stop | (kl > cfg.target_kl)
+        if cfg.target_kl is not None:
+            stop = stop | (kl > cfg.target_kl)
         return (params, opt_state, stop, sums, count), None
 
-    if N % nmb != 0:
+    if pad:
         # Uneven-split parity (ppo.rs:1811-1831): the reference uses
         # EVERY sample each epoch, splitting N into minibatches whose
         # sizes differ by <=1. Static shapes can't vary per minibatch, so
@@ -338,9 +357,9 @@ def ppo_update(
         # metric reduction is already valid-weighted, so a minibatch
         # averages over exactly its real samples, same as the reference's
         # shorter minibatch. Pad rows copy real rows (not zeros) so
-        # action masks / observations stay well-formed.
-        mb_size = -(-N // nmb)
-        pad = nmb * mb_size - N
+        # action masks / observations stay well-formed.  (mb_size / pad
+        # themselves are computed above mb_body, which also guards the
+        # pad >= mb_size all-pad-minibatch case.)
         pad_rows = packed[:pad].at[:, -1].set(0.0)
         packed = jnp.concatenate([packed, pad_rows], axis=0)
     R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)

@@ -87,11 +87,22 @@ class OpponentPool:
         cache_size: int = 32,
         seed: int = 0,
         persist: bool = True,
+        device_put_fn=None,
     ):
         # ``persist=False`` for non-primary hosts in multi-host runs: they
         # maintain the SAME stats in lockstep (via globally-synced game
         # records) but only host 0 writes opponent_stats.json.
         self._persist = persist
+        # Canonical placement for device-cached entries.  Seeded entries
+        # (copied from the live, mesh-committed training params) and
+        # disk-loaded entries (single-device from load_pytree) must end
+        # up with ONE sharding: a rotation stacking a mix would otherwise
+        # flip the stacked tree's sharding between windows and recompile
+        # the (large) pool-window program.  The trainer passes a
+        # replicate-onto-its-mesh function; default is identity.
+        self._device_put = device_put_fn if device_put_fn is not None else (
+            lambda t: t
+        )
         self.run_dir = Path(run_dir)
         self.ckpt_dir = self.run_dir / "checkpoints"
         self.stats_path = self.run_dir / "opponent_stats.json"
@@ -197,10 +208,12 @@ class OpponentPool:
         _network, params, _meta = CheckpointManager.load_model(path)
         obs_norm = CheckpointManager.load_obs_normalizer(path)
         entry = (
-            jax.tree_util.tree_map(jnp.asarray, params),
+            self._device_put(jax.tree_util.tree_map(jnp.asarray, params)),
             None
             if obs_norm is None
-            else jax.tree_util.tree_map(jnp.asarray, obs_norm),
+            else self._device_put(
+                jax.tree_util.tree_map(jnp.asarray, obs_norm)
+            ),
         )
         self._device_cache[name] = entry
         while len(self._device_cache) > self._cache_size:
@@ -216,8 +229,8 @@ class OpponentPool:
         if jax.process_count() != 1:
             return
         entry = (
-            _copy_tree(params),
-            None if obs_norm is None else _copy_tree(obs_norm),
+            self._device_put(_copy_tree(params)),
+            None if obs_norm is None else self._device_put(_copy_tree(obs_norm)),
         )
         self._device_cache[name] = entry
         self._device_cache.move_to_end(name)

@@ -70,6 +70,20 @@ class RatingHistory:
     def load(run_dir: str | Path) -> "RatingHistory":
         h = RatingHistory(run_dir)
         cached_upto = h._load_cache()  # registers cached player indices
+        lines: List[str] = []
+        if h.games_path.exists():
+            lines = [
+                l for l in h.games_path.read_text().splitlines() if l.strip()
+            ]
+        if cached_upto > len(lines):
+            # jsonl shrank under the cache (e.g. a crash lost a tail
+            # write) — the cache's player indices no longer match the
+            # log.  Reset BEFORE metadata registration so the index
+            # space rebuilds consistently (a late reset would wipe the
+            # metadata-registered indices while first_checkpoint_idx
+            # kept pointing into the old numbering).
+            h._reset_cache()
+            cached_upto = 0
         if h.metadata_path.exists():
             meta = json.loads(h.metadata_path.read_text())
             for name, step in meta.get("checkpoint_steps", {}).items():
@@ -79,26 +93,16 @@ class RatingHistory:
             if first in h.checkpoint_to_idx:
                 h.first_checkpoint_idx = h.checkpoint_to_idx[first]
             h.current_checkpoint = meta.get("current_checkpoint")
-        if h.games_path.exists():
-            lines = [
-                l for l in h.games_path.read_text().splitlines() if l.strip()
-            ]
-            if cached_upto > len(lines):
-                # jsonl shrank under the cache — cache is stale; rebuild.
-                h._reset_cache()
-                cached_upto = 0
-            # Games the cache already covers never need re-parsing; keep
-            # placeholders so indices/total counts stay correct.
-            h.games = [None] * cached_upto
-            h._expanded_upto = cached_upto
-            for line in lines[cached_upto:]:
-                game = json.loads(line)
-                h.games.append(game)
-                h._register(game["current"], 0)
-                for o in game["opponents"]:
-                    h._register(o, 0)
-        elif cached_upto:
-            h._reset_cache()
+        # Games the cache already covers never need re-parsing; keep
+        # placeholders so indices/total counts stay correct.
+        h.games = [None] * cached_upto
+        h._expanded_upto = cached_upto
+        for line in lines[cached_upto:]:
+            game = json.loads(line)
+            h.games.append(game)
+            h._register(game["current"], 0)
+            for o in game["opponents"]:
+                h._register(o, 0)
         return h
 
     # ------------------------------------------------------------------

@@ -743,6 +743,9 @@ class Trainer:
             pool_envs = int(round(self.num_envs * cfg.opponent_pool_fraction))
             pool_envs = min(max(pool_envs, 1), self.num_envs - 1) if self.num_envs > 1 else 0
             self.num_learner_envs = self.num_envs - pool_envs
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
             self.pool = OpponentPool(
                 self.run_dir,
                 select_alpha=cfg.opponent_select_alpha,
@@ -750,11 +753,31 @@ class Trainer:
                 max_active=cfg.max_active_opponents,
                 seed=self.seed,
                 persist=self.is_primary,
+                # Single-process device cache only: canonicalize every
+                # cached entry onto the training mesh so rotations mixing
+                # just-seeded and disk-loaded opponents keep one stacked
+                # sharding (no pool-window recompile).
+                device_put_fn=(
+                    (lambda t: jax.device_put(t, repl))
+                    if jax.process_count() == 1
+                    else None
+                ),
             )
             self.rating_history = RatingHistory.load(self.run_dir)
             self.seating = PoolSeating.create(
                 self.num_envs, self.num_learner_envs, self.num_players,
                 num_slots=1, key=k_seat,
+            )
+            # Commit seating onto its steady-state placement now (env-
+            # indexed leaves sharded over 'data' — what the pool-window
+            # jit outputs): the first window would otherwise see
+            # uncommitted inputs and compile a second executable beyond
+            # the background-warmed one.
+            from burn_ppo_tpu.parallel.distributed import global_put
+            from burn_ppo_tpu.parallel.mesh import data_sharding
+
+            self.seating = global_put(
+                self.seating, lambda _: data_sharding(self.mesh)
             )
         self._last_elo: Dict[str, float] = {}
 
@@ -832,10 +855,7 @@ class Trainer:
         # collective deadlocks.
         return_norm = self.state.carry.return_norm
         if self.multihost:
-            repl = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec()
-            )
-            return_norm = jax.jit(lambda t: t, out_shardings=repl)(return_norm)
+            return_norm = self._replicate_identity()(return_norm)
         if not self.is_primary:
             # Host-0 owns checkpoint IO, but every host must register the
             # new checkpoint in its pool-stats replica at the SAME update
@@ -974,6 +994,22 @@ class Trainer:
         return k
 
     # ------------------------------------------------------------------
+    def _replicate_identity(self):
+        """Cached identity-jit that replicates its input onto the mesh
+        (the device all-gather used before host fetches of non-fully-
+        addressable outputs).  Built ONCE: a fresh ``jax.jit(lambda..)``
+        per call would retrace + recompile every time (jit caches are
+        per function object)."""
+        fn = getattr(self, "_repl_identity_fn", None)
+        if fn is None:
+            repl = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            )
+            fn = jax.jit(lambda t: t, out_shardings=repl)
+            self._repl_identity_fn = fn
+        return fn
+
+    # ------------------------------------------------------------------
     def _get_pool_window(self, num_slots: int, w: int):
         key = (num_slots, w)
         if key not in self._pool_windows:
@@ -986,8 +1022,10 @@ class Trainer:
             )
         return self._pool_windows[key]
 
-    def _start_pool_window_precompile(self) -> None:
+    def _start_pool_window_precompile(self):
         """Warm the main pool-window executable in a background thread.
+        Returns the Thread (tests join it to assert the warmed entry is
+        a real cache hit), or None when the pool path is inactive.
 
         The pool path only activates after the FIRST checkpoint joins
         the pool, so its (large) program otherwise compiles exactly when
@@ -1015,25 +1053,42 @@ class Trainer:
             k *= 2
         window_fn = self._get_pool_window(pad_slots, k)
 
+        # jit caches executables PER INPUT SHARDING: dummies must carry
+        # the live leaves' committed shardings or the warm entry is a
+        # cache miss and the first real window still compiles inline.
         def zeros_like_tree(t):
             return jax.tree_util.tree_map(
-                lambda x: jnp.zeros(x.shape, x.dtype), t
+                lambda x: jax.device_put(
+                    jnp.zeros(x.shape, x.dtype), x.sharding
+                ),
+                t,
             )
 
+        repl = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
         state_z = zeros_like_tree(self.state)
         seat_z = zeros_like_tree(self.seating)
+        # Stacked opponents are canonicalized onto the replicated mesh
+        # sharding by the pool's device_put_fn — mirror that here.
         opp_z = jax.tree_util.tree_map(
-            lambda x: jnp.zeros((pad_slots,) + x.shape, x.dtype),
+            lambda x: jax.device_put(
+                jnp.zeros((pad_slots,) + x.shape, x.dtype), repl
+            ),
             self.state.params,
         )
         norm_z = (
             jax.tree_util.tree_map(
-                lambda x: jnp.zeros((pad_slots,) + x.shape, x.dtype),
+                lambda x: jax.device_put(
+                    jnp.zeros((pad_slots,) + x.shape, x.dtype), repl
+                ),
                 self.state.obs_norm,
             )
             if self.state.obs_norm is not None
             else None
         )
+        # Schedule vectors/k stay uncommitted, matching the real call's
+        # plain jnp.asarray inputs.
         sched_z = jnp.zeros((k,), jnp.float32)
 
         def warm():
@@ -1045,7 +1100,9 @@ class Trainer:
             except Exception:
                 pass  # warm-up only; the real call will surface errors
 
-        threading.Thread(target=warm, daemon=True).start()
+        t = threading.Thread(target=warm, daemon=True)
+        t.start()
+        return t
 
     def _apply_pool_records(self, rows: np.ndarray, active_names) -> None:
         """Fold globally-identical game records into win-rate queues (all
@@ -1285,12 +1342,20 @@ class Trainer:
                             remaining = max_seconds - (
                                 time.time() - start_time + self.elapsed_time_offset
                             )
+                        # Quantize the rotation-interval cap to a power
+                        # of two so k stays in the same power-of-2 family
+                        # as _window_size (and the background precompile):
+                        # a non-pow2 interval would otherwise mint its
+                        # own steady-state executable that nothing warms.
+                        cap = 1
+                        while cap * 2 <= max(cfg.pool_rotation_interval, 1):
+                            cap *= 2
                         k = min(
                             self._window_size(
                                 next_log, next_ckpt, remaining,
                                 self._per_update_time,
                             ),
-                            max(cfg.pool_rotation_interval, 1),
+                            cap,
                         )
                     else:
                         k = 1
@@ -1318,12 +1383,9 @@ class Trainer:
                     # addressable outputs need one replicating identity
                     # jit before device_get (as in save_checkpoint).
                     if self.multihost:
-                        repl = jax.sharding.NamedSharding(
-                            self.mesh, jax.sharding.PartitionSpec()
+                        pool_records = self._replicate_identity()(
+                            pool_records
                         )
-                        pool_records = jax.jit(
-                            lambda t: t, out_shardings=repl
-                        )(pool_records)
                     # ONE device transfer for everything the host reads
                     # this window (records + stats + metrics): per-leaf
                     # device_get pays a round trip per scalar through a

@@ -321,3 +321,114 @@ def test_rating_cache_persistence_roundtrip(tmp_path):
     stale = RatingHistory.load(tmp_path)
     assert stale._expanded_upto == 0
     assert stale.compute().total_games == 50
+
+
+def test_stale_cache_reset_precedes_metadata_registration(tmp_path):
+    """Stale rating cache (jsonl lost a tail write) + metadata present:
+    the reset must happen BEFORE metadata registration.  The regression
+    registered metadata names first, then wiped the index space, leaving
+    first_checkpoint_idx pointing into a game-order rebuilt numbering —
+    wrong Elo anchor (names flip when game order differs from metadata
+    order) and all steps zeroed."""
+    a, b = "step_00000100", "step_00000200"
+    h = RatingHistory(tmp_path)
+    h.on_checkpoint_saved(a, 100)
+    h.on_checkpoint_saved(b, 200)
+    # Game order starts with b: a late reset re-registers b at index 0.
+    h.record_games_batch(b, [([a], [1, 2])] * 10)
+    h.compute()
+    h._save_cache()
+    h._cache_saved_upto = h._expanded_upto
+    lines = (tmp_path / "rating_games.jsonl").read_text().splitlines()
+    (tmp_path / "rating_games.jsonl").write_text("\n".join(lines[:5]) + "\n")
+
+    r = RatingHistory.load(tmp_path)
+    assert r._expanded_upto == 0  # cache correctly discarded
+    assert r.idx_to_checkpoint[r.first_checkpoint_idx] == a
+    assert r.idx_to_step[r.checkpoint_to_idx[a]] == 100
+    assert r.idx_to_step[r.checkpoint_to_idx[b]] == 200
+    snap = r.compute()
+    assert snap.total_games == 5
+    # anchor: the first checkpoint rates exactly 1000
+    assert abs(r._cached_ratings[r.checkpoint_to_idx[a]] - 1000.0) < 1e-6
+
+
+def test_device_cache_sharding_canonical_between_seed_and_disk(tmp_path):
+    """Seeded (live mesh-committed params) and disk-loaded device-cache
+    entries must carry the SAME sharding: a rotation stacking a mix
+    would otherwise flip the stacked tree's sharding between windows and
+    recompile the pool-window program."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.models.network import make_network
+
+    env = make_env("connect_four")
+    net = make_network(env.spec, network_type="mlp", hidden_size=8,
+                       num_hidden=1, activation="tanh")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    params = jax.device_put(net.init(jax.random.PRNGKey(0)), repl)
+    ckpt = CheckpointManager(tmp_path)
+    meta = build_metadata(
+        step=64, env_name="connect_four", network=net, num_players=2,
+        avg_return=0.0, best_avg_return=None, recent_returns=[],
+        forked_from=None, rng_seed=0, normalize_obs=False,
+        normalize_values=False,
+    )
+    path = ckpt.save(
+        64, params, jax.tree_util.tree_map(jnp.zeros_like, params), {}, meta
+    )
+    pool = OpponentPool(
+        tmp_path, seed=0, device_put_fn=lambda t: jax.device_put(t, repl)
+    )
+    pool.add_checkpoint(path.name, 64)
+    pool.seed_device_cache(path.name, params, None)
+    seeded, _ = pool._device_cache.pop(path.name)
+    loaded, _ = pool._load_params_device(path.name)
+    for s, l in zip(jax.tree_util.tree_leaves(seeded),
+                    jax.tree_util.tree_leaves(loaded)):
+        assert s.sharding == l.sharding, (s.sharding, l.sharding)
+        assert s.sharding == repl
+
+
+def test_pool_window_precompile_is_cache_hit(tmp_path):
+    """The background warm-up must compile the SAME executable the real
+    pool windows use: dummies carry the live leaves' committed shardings
+    (the regression warmed uncommitted zeros — a guaranteed jit cache
+    miss, so the first real window still compiled inline)."""
+    import jax
+
+    cfg = Config(
+        env="connect_four",
+        num_envs=8,
+        num_steps=16,
+        total_steps=1024,
+        hidden_size=16,
+        num_hidden=1,
+        learning_rate=Schedule.constant(1e-3),
+        checkpoint_freq=256,
+        log_freq=256,
+        seed=3,
+        opponent_pool_fraction=0.5,
+        max_active_opponents=2,
+        pool_rotation_interval=2,
+    )
+    trainer = Trainer(cfg, tmp_path / "run", quiet=True)
+    if not trainer.use_windows:
+        import pytest
+
+        pytest.skip("windows disabled on this platform")
+    t = trainer._start_pool_window_precompile()
+    assert t is not None
+    t.join(timeout=300)
+    assert not t.is_alive()
+    pad_slots = max(cfg.max_active_opponents, 1)
+    wf = trainer._get_pool_window(pad_slots, 2)
+    assert wf._cache_size() == 1  # warm compiled exactly one entry
+    trainer.train()
+    # The real k=2 pool windows (pool active from step 256 on) must have
+    # hit the warmed entry — any sharding mismatch would add a second.
+    assert wf._cache_size() == 1

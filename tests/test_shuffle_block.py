@@ -142,3 +142,50 @@ def test_uneven_minibatch_split_matches_explicit_padding():
             np.asarray(m_a[k]), np.asarray(m_b[k]), err_msg=k
         )
     assert float(m_a["num_minibatch_updates"]) == 2.0 * nmb
+
+
+def test_all_pad_minibatches_are_skipped():
+    """pad >= mb_size (N=10, nmb=8 -> mb_size 2, pad 6): shuffling can
+    produce minibatches of ONLY pad rows. Those must be skipped outright
+    — the regression ran Adam on stale momentum with zero grads and
+    diluted the metric averages with zero-sum entries (count hit
+    epochs*nmb regardless)."""
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.models.network import make_network
+    from burn_ppo_tpu.ppo.update import (
+        PPOUpdateConfig,
+        make_optimizer,
+        ppo_update,
+    )
+
+    env = make_env("cartpole")
+    net = make_network(env.spec, network_type="mlp", hidden_size=16,
+                       num_hidden=1, activation="tanh")
+    N, nmb, epochs = 10, 8, 2
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 7)
+    data = {
+        "obs": jax.random.normal(ks[0], (N, 5)),
+        "actions": jax.random.randint(ks[1], (N,), 0, 2),
+        "old_log_probs": jnp.log(jnp.full((N,), 0.5)),
+        "advantages": jax.random.normal(ks[2], (N,)),
+        "returns": jax.random.normal(ks[3], (N,)),
+        "old_values": jnp.zeros((N,)),
+        "valid": jnp.ones((N,)),
+    }
+    cfg = PPOUpdateConfig(num_epochs=epochs, num_minibatches=nmb)
+    tx = make_optimizer(cfg)
+    params = net.init(ks[4])
+    p, o, _, m = ppo_update(
+        net, tx, params, tx.init(params), data, None, ks[5],
+        jnp.float32(1e-3), jnp.float32(0.01), cfg,
+    )
+    count = float(m["num_minibatch_updates"])
+    # 10 valid rows over minibatches of 2: between 5 and 8 can hold a
+    # valid row per epoch; the 6 pad rows guarantee at least one all-pad
+    # minibatch for this seed (3 across 2 epochs at current shuffle).
+    assert epochs * 5 <= count < epochs * nmb, count
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert np.isfinite(np.asarray(leaf)).all()
