@@ -389,13 +389,25 @@ def main() -> int:
 
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
+    # Progress to stderr (stdout stays the one JSON line): a wedged
+    # device tunnel otherwise looks like a silent multi-minute hang with
+    # no clue which path stalled.
+    def note(msg: str) -> None:
+        print(f"[bench] {msg} ({time.strftime('%H:%M:%S')})", file=sys.stderr)
+
+    note(f"platform={jax.default_backend()} devices={len(jax.devices())}")
+    note("cartpole: compiling + measuring")
     sps, flops, spread = bench_cartpole(jax, jnp)
+    note(f"cartpole done: {sps/1e6:.1f}M sps; selfplay-pool next")
     (
         sp_sps, sp_flops, sp_nopool_sps, sp_spread,
         sp_windowed_sps, sp_nopool_windowed_sps,
     ) = bench_selfplay_pool(jax, jnp)
+    note(f"selfplay-pool done: {sp_sps/1e6:.2f}M sps; skull-ctde next")
     skull_sps = bench_skull_ctde(jax, jnp)
+    note(f"skull-ctde done: {skull_sps/1e6:.2f}M sps; bf16 variant next")
     skull_bf16_sps = bench_skull_ctde(jax, jnp, compute_dtype="bfloat16")
+    note("all paths done")
 
     prev = previous_bench()
     prev_main = float(prev["value"]) if prev else 0.0
