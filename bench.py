@@ -263,6 +263,7 @@ def bench_selfplay_pool(jax, jnp):
     # real per-window host work (rotation re-stack, compacted-record
     # fetch + slice). Compare against the W=8 non-pool window with the
     # same host-call pattern.
+    from burn_ppo_tpu.checkpoint import fetch_tree
     from burn_ppo_tpu.selfplay.opponent_pool import _stack_trees
     from burn_ppo_tpu.train import make_pool_train_window, make_train_window
     import numpy as _np
@@ -285,8 +286,10 @@ def bench_selfplay_pool(jax, jnp):
     def pool_window_call(s, seat):
         o = _stack_trees(opps)
         s, seat, m, stats, rec = win(s, seat, o, None, lrs, ecs, scs)
-        float(m["policy_loss"])
-        r = jax.device_get(rec)
+        # Production parity (train.py window loop): everything the host
+        # reads this window comes back in ONE packed transfer.
+        fetched = fetch_tree({"rec": rec, "stats": stats, "metrics": m})
+        r = fetched["rec"]
         _rows = _np.asarray(r["rows"][: int(r["count"])], _np.int32)
         return s, seat
 
@@ -304,8 +307,7 @@ def bench_selfplay_pool(jax, jnp):
 
     def nopool_window_call(s):
         s, m, stats = win_np(s, lrs, ecs, scs)
-        float(m["policy_loss"])
-        jax.device_get(stats)
+        fetch_tree({"stats": stats, "metrics": m})
         return s
 
     s3 = nopool_window_call(st)
