@@ -130,8 +130,9 @@ def fetch_tree(tree: Any) -> Any:
         else:
             arr = seg.view(dt).reshape(shape)
         out[i] = arr
+    idx_set = set(arr_idx)
     for i, l in enumerate(leaves):
-        if i not in set(arr_idx):
+        if i not in idx_set:
             out[i] = np.asarray(l) if hasattr(l, "dtype") else l
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -171,13 +172,14 @@ def put_tree(tree: Any) -> Any:
                 for l in leaves
             ],
         )
+    # 64-bit host leaves land on device in JAX's canonical dtype
+    # (int64 -> int32 unless x64 is enabled); resolve it host-side —
+    # an empty jnp.asarray probe would pay a device dispatch per leaf
+    # per call, in the function that exists to collapse round trips.
     metas = tuple(
         (
             np.dtype(
-                jnp.asarray(np.asarray(leaves[i]).ravel()[:0]).dtype
-                if np.asarray(leaves[i]).dtype
-                in (np.int64, np.uint64, np.float64)
-                else np.asarray(leaves[i]).dtype
+                jax.dtypes.canonicalize_dtype(np.asarray(leaves[i]).dtype)
             ),
             tuple(np.asarray(leaves[i]).shape),
         )
@@ -216,8 +218,9 @@ def put_tree(tree: Any) -> Any:
     out = list(leaves)
     for j, i in enumerate(arr_idx):
         out[i] = device_leaves[j]
+    idx_set = set(arr_idx)
     for i, l in enumerate(leaves):
-        if i not in set(arr_idx) and hasattr(l, "dtype"):
+        if i not in idx_set and hasattr(l, "dtype"):
             out[i] = jnp.asarray(l) if not isinstance(l, jax.Array) else l
     return jax.tree_util.tree_unflatten(treedef, out)
 

@@ -254,6 +254,9 @@ class Config:
     # window instead of once per update (a documented cadence deviation;
     # the EMA sees the same games, batched coarser). Essential on
     # tunneled/multi-host setups where per-update dispatch dominates.
+    # Must be a power of two: windows are sized in the power-of-2 family
+    # the background precompile warms, so any other value would silently
+    # run at the next power of two below it.
     pool_rotation_interval: int = 1
 
     # Experiment
@@ -332,6 +335,14 @@ class Config:
             errors.append("opponent_pool_fraction must be in [0, 1]")
         if self.pool_rotation_interval < 1:
             errors.append("pool_rotation_interval must be >= 1")
+        elif self.pool_rotation_interval & (self.pool_rotation_interval - 1):
+            # train.py quantizes the window cap to the power-of-2 family
+            # the precompile warms; reject rather than silently running
+            # at a different cadence than configured.
+            errors.append(
+                "pool_rotation_interval must be a power of two "
+                f"(got {self.pool_rotation_interval})"
+            )
         if self.learning_rate.initial_value() <= 0:
             errors.append("learning_rate must be > 0")
         if self.max_training_time is not None:

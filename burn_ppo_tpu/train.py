@@ -308,24 +308,33 @@ def make_train_window(
         state, (metrics_all, stats_all) = jax.lax.scan(
             body, state, (lrs, ent_coefs, shaping_coefs)
         )
-        metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
-        # Guard counters must not miss violations in non-final window
-        # updates: report the SUM over the window.
-        for gk in GUARD_METRIC_KEYS:
-            if gk in metrics_all:
-                metrics[gk] = jnp.sum(metrics_all[gk])
-        stats = {
-            "count": jnp.sum(stats_all["count"]),
-            "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
-            "ret0_max": jnp.max(stats_all["ret0_max"]),
-            "ret0_min": jnp.min(stats_all["ret0_min"]),
-            "len_sum": jnp.sum(stats_all["len_sum"]),
-            "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
-            "draws": jnp.sum(stats_all["draws"]),
-        }
+        metrics, stats = _aggregate_window(metrics_all, stats_all)
         return state, metrics, stats
 
     return window
+
+
+def _aggregate_window(metrics_all, stats_all):
+    """Fold per-update window outputs into one boundary report: the LAST
+    update's metrics (what the reference logs, main.rs:1026) with guard
+    counters SUMMED (a violation in a non-final update must not vanish),
+    and episode stats summed/extremized over the window. Shared by the
+    pool and non-pool windows so a new stat or guard key can't silently
+    drop from one path's logging."""
+    metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
+    for gk in GUARD_METRIC_KEYS:
+        if gk in metrics_all:
+            metrics[gk] = jnp.sum(metrics_all[gk])
+    stats = {
+        "count": jnp.sum(stats_all["count"]),
+        "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
+        "ret0_max": jnp.max(stats_all["ret0_max"]),
+        "ret0_min": jnp.min(stats_all["ret0_min"]),
+        "len_sum": jnp.sum(stats_all["len_sum"]),
+        "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
+        "draws": jnp.sum(stats_all["draws"]),
+    }
+    return metrics, stats
 
 
 class PoolRecordLog(struct.PyTreeNode):
@@ -468,19 +477,7 @@ def make_pool_train_window(
         (state, seating), (metrics_all, stats_all, records_all) = jax.lax.scan(
             body, (state, seating), (lrs, ent_coefs, shaping_coefs)
         )
-        metrics = jax.tree_util.tree_map(lambda x: x[-1], metrics_all)
-        for gk in GUARD_METRIC_KEYS:
-            if gk in metrics_all:
-                metrics[gk] = jnp.sum(metrics_all[gk])
-        stats = {
-            "count": jnp.sum(stats_all["count"]),
-            "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
-            "ret0_max": jnp.max(stats_all["ret0_max"]),
-            "ret0_min": jnp.min(stats_all["ret0_min"]),
-            "len_sum": jnp.sum(stats_all["len_sum"]),
-            "pts_sum": jnp.sum(stats_all["pts_sum"], axis=0),
-            "draws": jnp.sum(stats_all["draws"]),
-        }
+        metrics, stats = _aggregate_window(metrics_all, stats_all)
         records, overflow = compact_records(records_all)
         metrics["pool_record_overflow"] = overflow
         return state, seating, metrics, stats, records
@@ -1293,6 +1290,13 @@ class Trainer:
 
                 t0 = time.time()
                 updates_done = 1
+                # Which entropy controller actually ran this iteration:
+                # every fused path keeps it on device; only the unfused
+                # phase-profiling diagnostic drives the host controller.
+                # (The pool branch preempts profiling, so keying the
+                # readback on profile_phases alone would mislabel
+                # pool+profiling runs.)
+                host_controller_used = False
                 # Stacked-slot axis padded to the config maximum: the
                 # pool growing 1 -> max_active opponents then costs zero
                 # window recompiles (slot sampling is bounded by the
@@ -1421,6 +1425,7 @@ class Trainer:
                                 self.global_step
                             )
                         )
+                        host_controller_used = True
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
                     updates_done = 1
                 elif self.use_windows:
@@ -1487,7 +1492,7 @@ class Trainer:
                 last_metrics = metrics
 
                 if adaptive:
-                    if self.profile_phases:
+                    if host_controller_used:
                         # Host-controller mode: close its feedback loop.
                         self.adaptive_entropy.record_entropy(
                             metrics["entropy"]

@@ -262,11 +262,20 @@ def test_normalize_returns_explicit_override():
         {"learning_rate": 0.0},
         {"max_training_time": "5 days"},
         {"compute_dtype": "float16"},
+        {"pool_rotation_interval": 0},
+        # Non-power-of-two would silently run at the next power of two
+        # below it (train.py window-cap quantization) — reject instead.
+        {"pool_rotation_interval": 6},
     ],
 )
 def test_validate_rejects(kw):
     with pytest.raises(ValueError):
         Config(**kw).validate()
+
+
+@pytest.mark.parametrize("w", [1, 2, 8, 64])
+def test_validate_accepts_pow2_rotation_interval(w):
+    Config(pool_rotation_interval=w).validate()
 
 
 def test_validate_collects_multiple_errors():

@@ -174,3 +174,41 @@ def test_adaptive_training_uses_windows_and_reports_coef():
         lo = cfg.adaptive_entropy_min_coef
         hi = cfg.adaptive_entropy_max_coef
         assert lo <= summary["train/adaptive_ent_coef"] <= hi
+
+
+def test_adaptive_pool_profiling_logs_device_coefficient():
+    """Pool training preempts the unfused profiling branch, so the
+    readback must take the device coefficient, not close the (unused)
+    host controller's loop: with adaptive + pool + --profile-phases the
+    logged train/entropy_coef must stay inside the controller clamp,
+    never the raw entropy TARGET (0.5*ln(7) ~ 0.97 for connect_four,
+    10x the max coefficient)."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from burn_ppo_tpu.config import Config
+    from burn_ppo_tpu.train import Trainer
+
+    steps_per_update = 4 * 8
+    cfg = Config(
+        env="connect_four", num_envs=4, num_steps=8,
+        total_steps=steps_per_update * 6,
+        hidden_size=8, num_hidden=1, num_minibatches=2, num_epochs=1,
+        seed=0, opponent_pool_fraction=0.25, max_active_opponents=2,
+        log_freq=steps_per_update, checkpoint_freq=steps_per_update,
+        adaptive_entropy="0.5", adaptive_entropy_delta=0.005,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        Trainer(cfg, d, quiet=True, profile_phases=True).train()
+        coefs = [
+            row["value"]
+            for row in map(
+                json.loads,
+                (Path(d) / "metrics.jsonl").read_text().splitlines(),
+            )
+            if row.get("name") == "train/entropy_coef"
+        ]
+        assert coefs, "no entropy_coef series logged"
+        hi = cfg.adaptive_entropy_max_coef
+        assert all(c <= hi + 1e-9 for c in coefs), coefs
