@@ -322,6 +322,135 @@ def test_two_process_pool_training_e2e(tmp_path):
     assert len(stats["opponents"]) >= 2  # checkpoints joined the pool
 
 
+def test_two_process_preemption_resume(tmp_path):
+    """Pod-preemption recovery, end to end with real processes: SIGTERM
+    delivered to HOST 0 ONLY must stop BOTH processes at the same update
+    (the stop decision is host-0's, broadcast each iteration — a
+    host-local exit would hang the other process in a collective), write
+    a final checkpoint, and a 2-process --resume must continue from it
+    to completion. Certifies the multihost failure-recovery story
+    (SURVEY §5: preemption-resume replaces the reference's crash-rerun).
+    """
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port0 = s.getsockname()[1]
+
+    run_dir = tmp_path / "run"
+    total = 128_000  # ~2000 updates: far more than runs before SIGTERM
+    cfg = tmp_path / "skull_tiny.toml"
+    cfg.write_text(
+        "\n".join(
+            [
+                'env = "skull"',
+                "player_count = 3",
+                'network_type = "ctde"',
+                "num_envs = 8",
+                "num_steps = 8",
+                f"total_steps = {total}",
+                "hidden_size = 8",
+                "num_hidden = 1",
+                "num_minibatches = 2",
+                "checkpoint_freq = 3200",
+                "log_freq = 3200",
+                "seed = 5",
+                "opponent_pool_fraction = 0.25",
+                "max_active_opponents = 2",
+                "pool_rotation_interval = 2",
+            ]
+        )
+        + "\n"
+    )
+
+    def spawn(pid, port, extra=()):
+        env = dict(os.environ)
+        env.update(
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            BURN_PPO_COORDINATOR=f"localhost:{port}",
+            BURN_PPO_NUM_PROCESSES="2",
+            BURN_PPO_PROCESS_ID=str(pid),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        args = [
+            sys.executable, "-m", "burn_ppo_tpu", "train",
+            "--platform", "cpu", "--multihost", "--quiet",
+        ] + list(extra)
+        return subprocess.Popen(
+            args,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+
+    fresh = ["-c", str(cfg), "--run-dir", str(run_dir)]
+    procs = [spawn(0, port0, fresh), spawn(1, port0, fresh)]
+    try:
+        # Preempt host 0 as soon as the first checkpoint lands (the run
+        # still has ~97% of its updates left, so the stop is mid-run).
+        ckpt_root = run_dir / "checkpoints"
+        deadline = time.time() + 480
+        while time.time() < deadline:
+            if any(
+                p.name.startswith("step_")
+                for p in (ckpt_root.iterdir() if ckpt_root.exists() else [])
+            ):
+                break
+            if procs[0].poll() is not None:
+                break  # crashed early; assertions below surface output
+            time.sleep(0.5)
+        procs[0].send_signal(signal.SIGTERM)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"preempt proc {pid} failed:\n{out[-3000:]}"
+    meta = json.loads(
+        (run_dir / "checkpoints" / "latest" / "metadata.json").read_text()
+    )
+    s1 = int(meta["step"])
+    assert s1 < total, "run finished before the preemption signal landed"
+
+    # --- resume with a fresh coordinator; total_steps is one of the two
+    # fields the resume-override policy allows.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port1 = s.getsockname()[1]
+    new_total = s1 + 128
+    res = [
+        "--resume", str(run_dir), "--total-steps", str(new_total),
+    ]
+    procs = [spawn(0, port1, res), spawn(1, port1, res)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=480)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume proc {pid} failed:\n{out[-3000:]}"
+    meta = json.loads(
+        (run_dir / "checkpoints" / "latest" / "metadata.json").read_text()
+    )
+    assert int(meta["step"]) >= new_total
+    assert (run_dir / "opponent_stats.json").exists()
+
+
 def test_nonprimary_trainer_registers_checkpoint(tmp_path, monkeypatch):
     """A non-primary host's save_checkpoint() writes nothing but still
     registers the deterministic checkpoint name in its pool replica."""
