@@ -83,7 +83,9 @@ class EnvSpec:
     num_players: int = 1
     obs_shape: Optional[Tuple[int, int, int]] = None  # (H, W, C) for CNN
     privileged_obs_dim: Optional[int] = None  # CTDE critic input (padded)
-    eval_temp: float = 1.0
+    # Reference trait default (env.rs:53); skull/liars_dice override to
+    # 1.0, connect_four to 0.4 — cartpole inherits this.
+    eval_temp: float = 0.3
     # (move_number, temp) — after move_number, eval temperature switches
     eval_temp_cutoff: Optional[Tuple[int, float]] = None
     variable_player_count: bool = False
