@@ -40,7 +40,7 @@ from burn_ppo_tpu.envs.base import (
 )
 from burn_ppo_tpu.ops.categorical import apply_action_mask, sample_with_temperature
 from burn_ppo_tpu.ppo.normalization import obs_norm_apply
-from burn_ppo_tpu.utils import compute_avg_points, rewards_to_placements
+from burn_ppo_tpu.utils import rewards_to_placements
 
 
 # ---------------------------------------------------------------------------
@@ -574,11 +574,11 @@ def run_stats_mode(
     def run_chunk(c):
         return jax.lax.scan(step_fn, c, None, length=chunk_steps)
 
+    from burn_ppo_tpu.checkpoint import fetch_tree
+
     stats = EvalStats([s.name for s in sources], P)
     while stats.total_games < num_games:
         carry, (logs, perm_hist) = run_chunk(carry)
-        from burn_ppo_tpu.checkpoint import fetch_tree
-
         fetched = fetch_tree({"logs": logs, "perm": perm_hist})
         logs = fetched["logs"]
         perm_hist = np.asarray(fetched["perm"])  # [T, E]

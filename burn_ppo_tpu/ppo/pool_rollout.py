@@ -43,6 +43,7 @@ from burn_ppo_tpu.ppo.normalization import (
     PopArtState,
     obs_norm_apply,
     popart_denormalize,
+    return_norm_step,
 )
 from burn_ppo_tpu.ppo.rollout import RolloutBatch, RolloutCarry
 
@@ -89,6 +90,9 @@ def collect_rollouts_with_opponents(
     num_learner_envs: int,
     num_slots: int,
     num_active=None,  # traced i32 <= num_slots, or None (= num_slots)
+    gamma: float = 0.99,
+    normalize_returns: bool = False,
+    return_clip: float = 10.0,
     obs_clip: float = 10.0,
     env_context: Optional[dict] = None,
 ) -> Tuple[RolloutCarry, PoolSeating, RolloutBatch, PoolStepLog]:
@@ -183,7 +187,24 @@ def collect_rollouts_with_opponents(
 
         all_rewards = terminal.rewards  # [E, P]
         dones = terminal.done
-        acting_reward = jnp.sum(all_rewards * onehot.astype(all_rewards.dtype), axis=1)
+        oh_r = onehot.astype(all_rewards.dtype)
+        acting_reward = jnp.sum(all_rewards * oh_r, axis=1)
+        # Return normalization, reference pool semantics (ppo.rs:952-969):
+        # the rolling return advances for EVERY acting player, variance
+        # stats fold on LEARNER turns only (opponent turns must not
+        # steer the statistics), the acting reward normalizes with the
+        # post-update stats, and — as in the reference buffer fill
+        # (ppo.rs:981-996) — the normalized value replaces the acting
+        # slot of all_rewards so GAE attribution sees it.
+        ret_norm = c.return_norm
+        if normalize_returns:
+            ret_norm, acting_reward = return_norm_step(
+                ret_norm, acting_reward, players, dones, gamma, return_clip,
+                valid=learner_turn,
+            )
+            all_rewards = (
+                all_rewards * (1.0 - oh_r) + acting_reward[:, None] * oh_r
+            )
         # Record last values only on learner turns (learner's own chain).
         last_vpp = jnp.where(
             learner_turn[:, None] & (onehot > 0),
@@ -235,7 +256,7 @@ def collect_rollouts_with_opponents(
         new_carry = RolloutCarry(
             env_states=next_states,
             episode_acc=next_acc,
-            return_norm=c.return_norm,
+            return_norm=ret_norm,
             last_value_per_player=last_vpp,
             key=key,
         )

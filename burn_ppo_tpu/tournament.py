@@ -181,7 +181,19 @@ def discover_contestants(
     shuffle_seed: Optional[int] = None,
 ) -> List[Contestant]:
     """Resolve paths to checkpoints, build contestants with display names
-    and initial seeding (tournament.rs:560-700)."""
+    and initial seeding (tournament.rs:560-700).
+
+    Seeding follows the reference exactly: training ``avg_return`` seeds
+    only a SINGLE-training-run tournament (one source that is a run or
+    checkpoints dir, tournament.rs:563-578, 607-640); with multiple
+    sources the field ratings are incomparable, so contestants shuffle
+    (``shuffle_seed`` -> deterministic; the reference uses entropy) and
+    take their shuffled position as the seed (681-699). Random always
+    seeds lowest (-inf)."""
+    src_paths = [Path(s) for s in sources]
+    single_training_run = len(src_paths) == 1 and not is_checkpoint_dir(
+        src_paths[0]
+    )
     paths: List[Path] = []
     for src in sources:
         p = Path(src)
@@ -214,19 +226,40 @@ def discover_contestants(
     contestants = []
     for path, name in zip(unique, names):
         meta = CheckpointManager.load_metadata(path)
+        if single_training_run:
+            ar = meta.get("avg_return")
+            # 25.0 = the reference's fallback when metadata is unreadable.
+            seed_val = float(ar) if ar is not None else 25.0
+        else:
+            seed_val = 0.0
         contestants.append(
             Contestant(
                 name=name,
                 source=PlayerSource.checkpoint(path),
                 path=path,
                 step=int(meta.get("step", 0)),
-                initial_seed=float(meta.get("avg_return", 0.0)) or float(meta.get("step", 0)),
+                initial_seed=seed_val,
             )
         )
     if include_random:
-        contestants.append(Contestant(name="Random", source=PlayerSource.random()))
-    if shuffle_seed is not None:
-        random.Random(shuffle_seed).shuffle(contestants)
+        contestants.append(
+            Contestant(
+                name="Random",
+                source=PlayerSource.random(),
+                initial_seed=float("-inf"),
+            )
+        )
+    if not single_training_run and len(contestants) > 1:
+        rng = random.Random(shuffle_seed)
+        if include_random:
+            body = contestants[:-1]  # keep Random at the end
+            rng.shuffle(body)
+            contestants = body + contestants[-1:]
+        else:
+            rng.shuffle(contestants)
+        for i, c in enumerate(contestants):
+            if c.source.kind != "random":
+                c.initial_seed = float(i)
     return contestants
 
 
@@ -408,7 +441,8 @@ def run_tournament(
     quiet: bool = False,
 ) -> Dict:
     contestants = discover_contestants(
-        sources, limit_per_run=limit_per_run, include_random=include_random
+        sources, limit_per_run=limit_per_run, include_random=include_random,
+        shuffle_seed=seed,
     )
     if len(contestants) < 2:
         raise ValueError("Tournament needs at least 2 contestants")
@@ -491,8 +525,13 @@ def run_tournament(
     points_history: List[List[float]] = [[0.0] * n]  # per-round snapshots
     for round_idx in range(1, num_rounds + 1):
         if use_swiss:
-            # Byes (tournament.rs:2085-2117)
+            # Byes (tournament.rs:2085-2117): points are awarded BEFORE
+            # pairing, and recipients sit the round out — pods form from
+            # the active (non-bye) contestants only (active_indices in
+            # the reference), which also keeps round-1 detection intact
+            # (the excluded bye recipient holds the only nonzero score).
             num_byes = n % pod_size
+            bye_recipients: List[int] = []
             if num_byes > 0:
                 candidates = sorted(
                     (i for i in range(n) if not contestants[i].has_bye),
@@ -504,10 +543,19 @@ def run_tournament(
                 for bye_idx in candidates[:num_byes]:
                     contestants[bye_idx].swiss_points += float(pod_size - 1)
                     contestants[bye_idx].has_bye = True
+                    bye_recipients.append(bye_idx)
                     if not quiet:
                         print(f"  {contestants[bye_idx].name} receives bye "
                               f"(+{pod_size - 1:.1f} points)")
-            pods = swiss_pods(contestants, pod_size)
+            active = [i for i in range(n) if i not in bye_recipients]
+            temp_pods = swiss_pods(
+                [contestants[i] for i in active], pod_size
+            )
+            pods = [[active[j] for j in pod] for pod in temp_pods]
+            if not pods and not bye_recipients:
+                if not quiet:
+                    print("  No pods possible")
+                break
         else:
             pods = round_robin_pods(n, pod_size)
         if not quiet:

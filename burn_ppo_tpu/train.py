@@ -377,6 +377,11 @@ def make_pool_train_step(
             num_learner_envs=num_learner_envs,
             num_slots=num_slots,
             num_active=num_active,
+            gamma=cfg.gamma,
+            normalize_returns=cfg.effective_normalize_returns(
+                env.spec.num_players
+            ),
+            return_clip=cfg.return_clip,
             env_context=ctx,
         )
         new_state, metrics = _finish_step(

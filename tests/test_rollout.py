@@ -263,3 +263,43 @@ def test_pool_values_are_learner_values(pool_setup):
     # match self-play envs' value distribution (identical constant net).
     assert values.std() < 10.0  # sanity: finite
     assert np.isfinite(values).all()
+
+
+def test_pool_return_normalization_learner_gated(pool_setup):
+    """Reference pool semantics (ppo.rs:952-996): with normalize_returns
+    the rolling return advances every step, variance stats fold on
+    LEARNER turns only, and the normalized acting reward lands in both
+    batch.rewards and the acting slot of all_rewards."""
+    env, net, learner, stacked = pool_setup
+    E, L, T = 6, 2, 12
+    carry = init_rollout_carry(env, E, jax.random.PRNGKey(3))
+    seating = PoolSeating.create(E, L, env.spec.num_players, num_slots=2,
+                                 key=jax.random.PRNGKey(4))
+    fn = jax.jit(
+        lambda p, o, c, s: collect_rollouts_with_opponents(
+            net, env, p, o, None, c, s, None, None,
+            num_steps=T, num_learner_envs=L, num_slots=2,
+            gamma=0.97, normalize_returns=True,
+        )
+    )
+    carry_out, seat_out, batch, logs = fn(learner, stacked, carry, seating)
+    # Stats folded exactly one sample per learner turn.
+    assert float(carry_out.return_norm.count) == pytest.approx(
+        float(np.asarray(batch.valid_mask).sum())
+    )
+    # Acting slot of all_rewards carries the (normalized) acting reward.
+    players = np.asarray(batch.acting_players)
+    ar = np.asarray(batch.all_rewards)
+    acting = np.take_along_axis(ar, players[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(acting, np.asarray(batch.rewards), rtol=1e-6)
+
+    # Without normalization the state must stay untouched.
+    fn_off = jax.jit(
+        lambda p, o, c, s: collect_rollouts_with_opponents(
+            net, env, p, o, None, c, s, None, None,
+            num_steps=T, num_learner_envs=L, num_slots=2,
+            gamma=0.97, normalize_returns=False,
+        )
+    )
+    carry2, _, _, _ = fn_off(learner, stacked, carry, seating)
+    assert float(carry2.return_norm.count) == 0.0

@@ -191,12 +191,28 @@ def test_discover_with_random_appends_baseline(tmp_path):
 
 
 def test_discover_shuffle_deterministic(tmp_path):
-    run = mk_run(tmp_path, "r", [10, 20, 30, 40, 50])
-    a = [c.name for c in discover_contestants([run], shuffle_seed=3)]
-    b = [c.name for c in discover_contestants([run], shuffle_seed=3)]
-    c = [c.name for c in discover_contestants([run], shuffle_seed=4)]
+    # Multi-source tournaments shuffle into positional seeding
+    # (tournament.rs:681-699); one run never shuffles.
+    r1 = mk_run(tmp_path, "r1", [10, 20, 30, 40, 50])
+    r2 = mk_run(tmp_path, "r2", [10, 20, 30, 40, 50])
+    a = [c.name for c in discover_contestants([r1, r2], shuffle_seed=3)]
+    b = [c.name for c in discover_contestants([r1, r2], shuffle_seed=3)]
+    c = [c.name for c in discover_contestants([r1, r2], shuffle_seed=4)]
     assert a == b
     assert a != c
+    # Positional seeds after the shuffle
+    cs = discover_contestants([r1, r2], shuffle_seed=3)
+    assert [x.initial_seed for x in cs] == [float(i) for i in range(len(cs))]
+
+
+def test_discover_single_run_seeds_by_avg_return_no_shuffle(tmp_path):
+    run = mk_run(tmp_path, "r", [10, 20, 30, 40, 50])
+    a = [c.name for c in discover_contestants([run], shuffle_seed=3)]
+    b = [c.name for c in discover_contestants([run], shuffle_seed=4)]
+    assert a == b  # single training run: no shuffle (tournament.rs:563)
+    cs = discover_contestants([run], include_random=True)
+    assert cs[-1].name == "Random"
+    assert cs[-1].initial_seed == float("-inf")  # always lowest seed
 
 
 # -------------------------------------------------------- display names

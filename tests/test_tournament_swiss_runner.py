@@ -103,6 +103,20 @@ def test_byes_awarded_with_odd_field(many_runs, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "bye" in out.lower()
     assert len(results["standings"]) == 13
+    # Bye recipients sit their round out (tournament.rs active_indices):
+    # with 13 contestants every non-bye contestant is in exactly one pod
+    # per round, and the bye name is in none.
+    byes = {}  # round -> bye name
+    for line in out.splitlines():
+        if "receives bye" in line:
+            byes[len(byes) + 1] = line.split(" receives bye")[0].strip()
+    assert len(byes) == 2
+    per_round = {}
+    for pod in results["pods"]:
+        per_round.setdefault(pod["round"], []).extend(pod["contestants"])
+    for rnd, names in per_round.items():
+        assert byes[rnd] not in names
+        assert len(names) == 12 and len(set(names)) == 12
 
 
 def test_json_output_written(many_runs, monkeypatch, tmp_path):
