@@ -395,7 +395,11 @@ def main(argv=None) -> int:
         argv = ["train"] + argv
     args = parser.parse_args(argv)
     if args.command == "train":
-        return run_train(args, argv=[a for a in argv if a != "train"])
+        # Strip ONLY the subcommand token (argv[0] after the default-
+        # subcommand insert above) — an option VALUE that happens to be
+        # the string "train" (e.g. --run-name train) must survive into
+        # the supervisor's child respawn argv.
+        return run_train(args, argv=argv[1:])
     if args.command == "eval":
         return run_eval(args)
     if args.command == "tournament":

@@ -9,21 +9,14 @@ def register(name: str, factory):
 
 def make_env(name: str, **kwargs) -> Environment:
     """Instantiate an environment by name (reference envs/mod.rs dispatch)."""
-    # Import lazily so each env module registers itself.
+    # Import lazily so each env module registers itself. Unguarded: a
+    # broken env module must surface its real ImportError, not degrade
+    # into a misleading "Unknown environment".
     from burn_ppo_tpu.envs import cartpole  # noqa: F401
+    from burn_ppo_tpu.envs import connect_four  # noqa: F401
+    from burn_ppo_tpu.envs import liars_dice  # noqa: F401
+    from burn_ppo_tpu.envs import skull  # noqa: F401
 
-    try:
-        from burn_ppo_tpu.envs import connect_four  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from burn_ppo_tpu.envs import liars_dice  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from burn_ppo_tpu.envs import skull  # noqa: F401
-    except ImportError:
-        pass
     if name not in _REGISTRY:
         raise ValueError(
             f"Unknown environment '{name}'. Available: {sorted(_REGISTRY)}"

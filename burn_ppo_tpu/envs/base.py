@@ -70,6 +70,23 @@ def read_row(arr2d: jax.Array, i: jax.Array, size: int) -> jax.Array:
     return jnp.sum(jnp.where(oh[:, None], arr2d, 0), axis=0)
 
 
+def push_ring_row(
+    hist: jax.Array, hist_len: jax.Array, entry: jax.Array, size: int
+):
+    """Append ``entry`` (int row [W]) to a fixed ``[size, W]`` history
+    ring: shift-on-full, one-hot row write (no scatter). Shared by the
+    bid histories the games encode into observations (liars_dice.rs
+    BidHistory:93-130, skull.rs:46-49). Returns (hist, hist_len)."""
+    full = hist_len >= size
+    shifted = jnp.where(full, jnp.roll(hist, -1, axis=0), hist)
+    at = jnp.where(full, size - 1, hist_len)
+    row = jnp.arange(size)[:, None] == at
+    return (
+        jnp.where(row, entry[None, :], shifted),
+        jnp.minimum(hist_len + 1, size),
+    )
+
+
 @dataclass(frozen=True)
 class EnvSpec:
     """Static environment description.

@@ -34,6 +34,7 @@ from burn_ppo_tpu.envs.base import (
     Environment,
     EnvSpec,
     onehot_eq,
+    push_ring_row,
     read_at,
     read_row,
 )
@@ -151,18 +152,14 @@ class LiarsDice(Environment):
         # ---- bid branch --------------------------------------------------
         def apply_bid(s: LiarsDiceState) -> LiarsDiceState:
             entry = jnp.stack([cur, qty, face]).astype(jnp.int32)
-            full = s.hist_len >= HIST
-            hist_shifted = jnp.where(full, jnp.roll(s.hist, -1, axis=0), s.hist)
-            write_at = jnp.where(full, HIST - 1, s.hist_len)
-            row = jnp.arange(HIST)[:, None] == write_at
-            hist = jnp.where(row, entry[None, :], hist_shifted)
+            hist, hist_len = push_ring_row(s.hist, s.hist_len, entry, HIST)
             return s.replace(
                 bid_qty=qty,
                 bid_face=face,
                 last_bidder=cur,
                 bid_count=s.bid_count + 1,
                 hist=hist,
-                hist_len=jnp.minimum(s.hist_len + 1, HIST),
+                hist_len=hist_len,
                 current=_next_alive(s.dice_count, cur),
                 rewards=jnp.zeros((P,), jnp.float32),
                 done=jnp.zeros((), jnp.bool_),

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from flax import struct
 
 from burn_ppo_tpu.envs import register
-from burn_ppo_tpu.envs.base import Environment, EnvSpec
+from burn_ppo_tpu.envs.base import (
+    Environment,
+    EnvSpec,
+    onehot_eq as _oh,
+    push_ring_row,
+    read_at as _read,
+    write_at as _write,
+)
 
 MAXP = 6
 CARDS = 4  # per player: 3 roses + 1 skull
@@ -57,14 +64,10 @@ PRIV_DIM = 200  # 103 exact, padded (skull.rs:1059)
 ROSE_C, SKULL_C = 1, 2
 
 
-# One-hot read/write primitives (base.py): every seat-indexed access is
-# an elementwise op, never a per-env gather/scatter — see the note at
-# envs/base.py:onehot_eq for why this matters on TPU.
-from burn_ppo_tpu.envs.base import (  # noqa: E402
-    onehot_eq as _oh,
-    read_at as _read,
-    write_at as _write,
-)
+# One-hot read/write primitives (_oh/_read/_write, imported above):
+# every seat-indexed access is an elementwise op, never a per-env
+# gather/scatter — see the note at envs/base.py:onehot_eq for why this
+# matters on TPU.
 
 
 class SkullState(struct.PyTreeNode):
@@ -240,12 +243,8 @@ class Skull(Environment):
 
     def _push_hist(self, s: SkullState, player, bid) -> SkullState:
         entry = jnp.stack([player, bid]).astype(jnp.int32)
-        full = s.hist_len >= HIST
-        shifted = jnp.where(full, jnp.roll(s.hist, -1, axis=0), s.hist)
-        at = jnp.where(full, HIST - 1, s.hist_len)
-        row = jnp.arange(HIST)[:, None] == at  # one-hot row write, no scatter
-        hist = jnp.where(row, entry[None, :], shifted)
-        return s.replace(hist=hist, hist_len=jnp.minimum(s.hist_len + 1, HIST))
+        hist, hist_len = push_ring_row(s.hist, s.hist_len, entry, HIST)
+        return s.replace(hist=hist, hist_len=hist_len)
 
     def _to_revealing(self, s: SkullState) -> SkullState:
         return s.replace(
@@ -273,6 +272,17 @@ class Skull(Environment):
     # -- step --------------------------------------------------------------
     def step(self, state: SkullState, action: jax.Array) -> SkullState:
         action = jnp.clip(action, 0, A - 1)
+        # Invalid-action contract (same as liars_dice.apply_invalid): an
+        # unmasked action terminates the episode with zero rewards. The
+        # reference panics here (skull.rs step asserts legality); inside
+        # jit the phase arithmetic below would otherwise silently remap
+        # e.g. PASS-in-placing to a bid of 24 and diverge the game state
+        # with no signal. Masked sampling never produces one, so this is
+        # purely a guard for external callers.
+        action_valid = jnp.sum(
+            self.action_mask(state).astype(jnp.float32)
+            * jax.nn.one_hot(action, A, dtype=jnp.float32)
+        ) > 0
         n = self.n
         s = state.replace(
             rewards=jnp.zeros((n,), jnp.float32), done=jnp.zeros((), jnp.bool_)
@@ -485,11 +495,15 @@ class Skull(Environment):
             return jax.lax.cond(is_skull, on_skull, on_rose, s)
 
         new_s = jax.lax.switch(s.phase, [do_placing, do_bidding, do_revealing], s)
-        # Game already over: no-op terminal (autoreset owns the restart).
+        # Game already over (no-op terminal; autoreset owns the restart)
+        # or unmasked action (terminate with zero rewards, as in
+        # liars_dice): discard the phase computation above.
         new_s = jax.lax.cond(
-            state.game_over,
+            state.game_over | ~action_valid,
             lambda _: state.replace(
-                rewards=jnp.zeros((n,), jnp.float32), done=jnp.ones((), jnp.bool_)
+                rewards=jnp.zeros((n,), jnp.float32),
+                done=jnp.ones((), jnp.bool_),
+                game_over=jnp.ones((), jnp.bool_),
             ),
             lambda x: x,
             new_s,

@@ -214,6 +214,16 @@ class InteractiveApp:
     def execute_discard(self, sess: Session, choice: str) -> Dict:
         if sess.pending_discard is None:
             return {"error": "no pending discard"}
+        # Reference lose_coaster_specified (skull.rs:327-360) REJECTS a
+        # choice the bidder cannot make; validating here keeps the
+        # physical-game assistant from recording a discard that never
+        # happened (the jitted env would degrade it to the random path).
+        bidder = sess.pending_discard["bidder"]
+        s = sess.state
+        if choice == "skull" and not bool(s.has_trap[bidder]):
+            return {"error": "bidder no longer has their skull coaster"}
+        if choice == "rose" and int(s.rose_count[bidder]) <= 0:
+            return {"error": "bidder has no rose coasters left"}
         discard = {"random": -1, "skull": 0, "rose": 1}.get(choice, -1)
         action = sess.pending_discard["action"]
         return self._apply(sess, action, discard)
@@ -412,13 +422,24 @@ def make_handler(app: InteractiveApp):
                 else:
                     self._json({"error": "bad network index"}, 400)
             elif path == "/api/new_game":
-                n = int(body.get("num_players", 4))
+                try:
+                    n = int(body.get("num_players", 4))
+                    ai_seat = int(body.get("ai_seat", 0))
+                except (TypeError, ValueError):
+                    self._json({"error": "num_players/ai_seat must be ints"}, 400)
+                    return
+                if not 2 <= n <= 6:
+                    self._json({"error": "num_players must be in [2, 6]"}, 400)
+                    return
+                if not 0 <= ai_seat < n:
+                    self._json({"error": f"ai_seat must be in [0, {n - 1}]"}, 400)
+                    return
                 sess.env = Skull(n)
                 sess.state = sess.env.reset(sess.next_key())
                 sess.history = []
                 sess.action_history = []
                 sess.pending_discard = None
-                sess.ai_seat = min(int(body.get("ai_seat", 0)), n - 1)
+                sess.ai_seat = ai_seat
                 self._json({"ok": True, "state": app.game_state_json(sess)})
             elif path == "/api/execute_action":
                 if sess.state is None:

@@ -126,6 +126,16 @@ class TrainingSupervisor:
                 except ValueError:
                     pass
 
+    def _count_checkpoints(self) -> int:
+        d = self.run_dir / "checkpoints"
+        if not d.exists():
+            return 0
+        return sum(
+            1
+            for p in d.iterdir()
+            if p.is_dir() and p.name.startswith("step_")
+        )
+
     def _run_loop(self, start, first, terminated) -> int:
         for restart in range(self.max_restarts):
             if terminated["flag"]:
@@ -135,6 +145,7 @@ class TrainingSupervisor:
                     print(f"supervisor: training complete at step {self.latest_step()}")
                 return 0
 
+            ckpt_baseline = self._count_checkpoints()
             elapsed_ms = int((time.time() - start) * 1000)
             if not first or self.latest_step() is not None:
                 # Resume from the run dir. Config overrides from the
@@ -181,8 +192,23 @@ class TrainingSupervisor:
                     proc.kill()
                 return 130
             if rc != 0:
+                # Reference behavior (supervisor.rs:128-138): a failed
+                # child is fatal — it would fail identically on an
+                # immediate zero-backoff respawn.
+                print(f"supervisor: child failed rc={rc}; aborting")
+                return 1
+            if self._count_checkpoints() == ckpt_baseline:
+                # Successful child that saved NO checkpoints: training is
+                # effectively done (end reached, or the remaining step /
+                # time budget fits no further checkpoint). Without this
+                # the loop respawns no-op children until max_restarts
+                # (supervisor.rs:146-149).
                 if not self.quiet:
-                    print(f"supervisor: child exited rc={rc}; retrying from latest")
+                    print(
+                        "supervisor: child made no checkpoint progress; "
+                        "treating training as complete"
+                    )
+                return 0
             first = False
         print("supervisor: max restarts exceeded")
         return 1

@@ -74,13 +74,17 @@ class RunTracker:
             else:
                 return 0
         count = 0
-        with open(self.metrics_path, "r") as f:
+        # Binary mode: offsets must count FILE bytes. Text mode's
+        # universal-newline translation collapses \r\n to \n, making
+        # len(line.encode()) undercount and the persisted offset drift
+        # backwards into already-ingested data.
+        with open(self.metrics_path, "rb") as f:
             f.seek(self.offset)
-            for line in f:
-                if not line.endswith("\n"):
+            for raw in f:
+                if not raw.endswith(b"\n"):
                     break  # partial write; retry next poll
-                self.offset += len(line.encode())
-                line = line.strip()
+                self.offset += len(raw)
+                line = raw.decode("utf-8", errors="replace").strip()
                 if not line:
                     continue
                 try:

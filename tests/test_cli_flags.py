@@ -89,3 +89,20 @@ def test_compilation_cache_flag_and_helper(tmp_path, monkeypatch):
     monkeypatch.setenv("BURN_PPO_COMPILE_CACHE", str(tmp_path / "env_cache"))
     got = enable_compilation_cache("auto")
     assert got == str(tmp_path / "env_cache")
+
+
+def test_main_preserves_train_valued_options(monkeypatch):
+    """main() must strip only the subcommand token: an option VALUE that
+    happens to be the string "train" (e.g. --run-name train) has to
+    survive into the argv used for supervisor child respawns."""
+    import burn_ppo_tpu.cli as cli
+
+    seen = {}
+    monkeypatch.setattr(
+        cli, "run_train", lambda args, argv=None: seen.update(argv=argv) or 0
+    )
+    cli.main(["train", "--run-name", "train", "--env", "cartpole"])
+    assert seen["argv"] == ["--run-name", "train", "--env", "cartpole"]
+    # Default-subcommand form (no explicit "train" token).
+    cli.main(["--run-name", "train", "--env", "cartpole"])
+    assert seen["argv"] == ["--run-name", "train", "--env", "cartpole"]

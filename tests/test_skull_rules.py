@@ -442,3 +442,16 @@ def test_step_after_game_over_is_terminal_noop(env):
     s2 = env.step(s, jnp.asarray(PLACE_ROSE))
     assert bool(s2.done)
     assert float(np.abs(np.asarray(s2.rewards)).sum()) == 0.0
+
+
+def test_invalid_action_terminates_like_liars_dice(env):
+    """An unmasked action ends the episode with zero rewards (the
+    liars_dice.apply_invalid contract; the reference panics) instead of
+    being silently remapped by the phase arithmetic — PASS during the
+    placing phase previously became a bid of 24."""
+    s = fresh(env)
+    mask = np.asarray(env.action_mask(s))
+    assert not mask[PASS]  # placing phase: PASS is illegal
+    s2 = env.step(s, jnp.asarray(PASS))
+    assert bool(s2.done) and bool(s2.game_over)
+    assert float(np.abs(np.asarray(s2.rewards)).sum()) == 0.0

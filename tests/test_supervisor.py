@@ -126,3 +126,53 @@ def test_respawn_uses_resume_and_offsets(tmp_path, monkeypatch):
     assert "--quiet" in second
     assert "--max-checkpoints-this-run" in first
     assert "--elapsed-time-offset-ms" in second
+
+
+def test_no_progress_child_ends_loop(tmp_path, monkeypatch):
+    """A successful child that saves NO new checkpoint ends the loop
+    (supervisor.rs:146-149) — e.g. the time budget is exhausted, so
+    every respawn would exit immediately; without this check the
+    supervisor spawns no-op children until max_restarts."""
+    import burn_ppo_tpu.supervisor as sup_mod
+
+    spawned = []
+    write_latest(tmp_path, 50)  # resume point exists, short of total
+
+    class FakeProc:
+        def __init__(self, cmd):
+            spawned.append(cmd)  # exits without writing a checkpoint
+
+        def wait(self, timeout=None):
+            return 0
+
+    monkeypatch.setattr(sup_mod.subprocess, "Popen", lambda cmd: FakeProc(cmd))
+    sup = TrainingSupervisor(
+        tmp_path, [], reload_every_n_checkpoints=1, total_steps=100,
+        quiet=True,
+    )
+    assert sup.run() == 0
+    assert len(spawned) == 1
+
+
+def test_failed_child_aborts(tmp_path, monkeypatch):
+    """A child that exits nonzero is fatal (reference bails,
+    supervisor.rs:128-138) — it would fail identically on an immediate
+    zero-backoff respawn."""
+    import burn_ppo_tpu.supervisor as sup_mod
+
+    spawned = []
+
+    class FakeProc:
+        def __init__(self, cmd):
+            spawned.append(cmd)
+
+        def wait(self, timeout=None):
+            return 3
+
+    monkeypatch.setattr(sup_mod.subprocess, "Popen", lambda cmd: FakeProc(cmd))
+    sup = TrainingSupervisor(
+        tmp_path, [], reload_every_n_checkpoints=1, total_steps=100,
+        quiet=True,
+    )
+    assert sup.run() == 1
+    assert len(spawned) == 1
