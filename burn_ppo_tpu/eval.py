@@ -761,14 +761,32 @@ def run_evaluation_cli(args) -> int:
 
     humans = [s for s in sources if s.kind == "human"]
     if humans:
-        # Fill remaining seats by cycling non-human sources.
-        non_human = [s for s in sources if s.kind != "human"] or [PlayerSource.random()]
+        if len(humans) > P:
+            print(
+                f"error: {len(humans)} humans requested but {env_name} "
+                f"seats only {P} players"
+            )
+            return 1
+        # Humans always get seats: if there are more sources than seats,
+        # drop excess NON-human sources from the end (seats[:P] used to
+        # silently truncate the human off the tail); fill any shortfall
+        # by cycling non-human sources.
         seats = list(sources)
+        dropped = 0
+        while len(seats) > P:
+            for j in range(len(seats) - 1, -1, -1):
+                if seats[j].kind != "human":
+                    del seats[j]
+                    dropped += 1
+                    break
+        if dropped:
+            print(f"note: only {P} seats; dropping {dropped} extra non-human source(s)")
+        non_human = [s for s in sources if s.kind != "human"] or [PlayerSource.random()]
         i = 0
         while len(seats) < P:
             seats.append(non_human[i % len(non_human)])
             i += 1
-        run_interactive_evaluation(env, seats[:P], args.num_games, temp, args.seed)
+        run_interactive_evaluation(env, seats, args.num_games, temp, args.seed)
         return 0
 
     if not sources:

@@ -64,7 +64,9 @@ def prompt_human_action(env, state, hint_source=None) -> int:
             if hint_source.obs_norm is not None:
                 obs = obs_norm_apply(hint_source.obs_norm, obs)
             logits = hint_source.network.forward_actor(hint_source.params, obs)[0]
-            logits = np.asarray(logits)
+            # np.array, not np.asarray: a JAX array exposes a READ-ONLY
+            # buffer, and the masked assignment below needs a copy.
+            logits = np.array(logits)
             logits[~mask.astype(bool)] = -1e9
             probs = np.exp(logits - logits.max())
             probs /= probs.sum()

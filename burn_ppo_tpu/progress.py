@@ -48,7 +48,9 @@ class TrainingProgress:
         bar = "=" * filled + ">" + " " * (BAR_WIDTH - filled)
         elapsed = self._elapsed()
         done = step - self.start_step
-        remaining = self.total - step
+        # The final update can overshoot total (total_steps need not be a
+        # multiple of steps-per-update); a negative ETA renders garbage.
+        remaining = max(self.total - step, 0)
         eta = remaining / max(sps, 1e-9) if done > 0 else 0.0
         return (
             f"[{bar[:BAR_WIDTH]}] {frac * 100:5.1f}% {step:,}/{self.total:,} "

@@ -314,6 +314,18 @@ def make_train_window(
     return window
 
 
+def largest_pow2_le(n: int) -> int:
+    """Largest power of two <= n (n >= 1). Window sizes MUST come from
+    this one function: jit caches one executable per window length, and
+    the background pool-window precompile warms exactly the power-of-2
+    family — a second quantization scheme would mint its own
+    multi-minute compile mid-training."""
+    k = 1
+    while k * 2 <= n:
+        k *= 2
+    return k
+
+
 def _aggregate_window(metrics_all, stats_all):
     """Fold per-update window outputs into one boundary report: the LAST
     update's metrics (what the reference logs, main.rs:1026) with guard
@@ -892,12 +904,13 @@ class Trainer:
             best_avg_return=(
                 None if self.best_avg_return == float("-inf") else self.best_avg_return
             ),
-            recent_returns=[
-                float(r) for r in getattr(self.tracker, "recent_returns", [])
-            ] or [self.tracker.avg_return] * min(
-                # A supervisor child may checkpoint before any episode
-                # completes; fall back to the resume seed's count so the
-                # seeded average survives the next resume.
+            # Episode stats reduce to window scalars on device (no
+            # per-episode host log exists), so recent_returns persists
+            # the windowed average repeated for the episode count — what
+            # a resume needs to reseed avg_return. A supervisor child
+            # may checkpoint before any episode completes; fall back to
+            # the resume seed's count so the seeded average survives.
+            recent_returns=[self.tracker.avg_return] * min(
                 100,
                 int(self.tracker.window_count)
                 or getattr(self.tracker, "seed_count", 0),
@@ -990,10 +1003,7 @@ class Trainer:
                 max_updates,
                 max(1, int(remaining_seconds / per_update_seconds)),
             )
-        k = 1
-        while k * 2 <= min(max_updates, 64):
-            k *= 2
-        return k
+        return largest_pow2_le(max(min(max_updates, 64), 1))
 
     # ------------------------------------------------------------------
     def _replicate_identity(self):
@@ -1015,13 +1025,21 @@ class Trainer:
     def _get_pool_window(self, num_slots: int, w: int):
         key = (num_slots, w)
         if key not in self._pool_windows:
-            self._pool_windows[key] = jax.jit(
-                make_pool_train_window(
-                    self.network, self.env, self.cfg, self.tx,
-                    self.num_learner_envs, num_slots,
-                ),
-                donate_argnums=(0, 1),
+            raw = make_pool_train_window(
+                self.network, self.env, self.cfg, self.tx,
+                self.num_learner_envs, num_slots,
             )
+            if self.debug_checkify:
+                # --checkify must cover the pool path too (it IS the run
+                # once the first checkpoint joins the pool). No donation:
+                # on error the pre-step state must stay alive.
+                from jax.experimental import checkify as _checkify
+
+                self._pool_windows[key] = jax.jit(
+                    _checkify.checkify(raw, errors=_checkify.float_checks)
+                )
+            else:
+                self._pool_windows[key] = jax.jit(raw, donate_argnums=(0, 1))
         return self._pool_windows[key]
 
     def _start_pool_window_precompile(self):
@@ -1050,9 +1068,9 @@ class Trainer:
         room = max(
             1, min(self.cfg.log_freq, self.cfg.checkpoint_freq) // spu
         )
-        k = 1
-        while k * 2 <= min(max(self.cfg.pool_rotation_interval, 1), 64, room):
-            k *= 2
+        k = largest_pow2_le(
+            max(min(max(self.cfg.pool_rotation_interval, 1), 64, room), 1)
+        )
         window_fn = self._get_pool_window(pad_slots, k)
 
         # jit caches executables PER INPUT SHARDING: dummies must carry
@@ -1351,14 +1369,12 @@ class Trainer:
                             remaining = max_seconds - (
                                 time.time() - start_time + self.elapsed_time_offset
                             )
-                        # Quantize the rotation-interval cap to a power
-                        # of two so k stays in the same power-of-2 family
-                        # as _window_size (and the background precompile):
-                        # a non-pow2 interval would otherwise mint its
-                        # own steady-state executable that nothing warms.
-                        cap = 1
-                        while cap * 2 <= max(cfg.pool_rotation_interval, 1):
-                            cap *= 2
+                        # Quantize the rotation-interval cap to the same
+                        # power-of-2 family as _window_size and the
+                        # background precompile (see largest_pow2_le).
+                        cap = largest_pow2_le(
+                            max(cfg.pool_rotation_interval, 1)
+                        )
                         k = min(
                             self._window_size(
                                 next_log, next_ckpt, remaining,
@@ -1378,13 +1394,17 @@ class Trainer:
                         )
                     lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
                     window_fn = self._get_pool_window(pad_slots, k)
-                    (
-                        self.state, self.seating, metrics, learner_stats,
-                        pool_records,
-                    ) = window_fn(
+                    _pool_out = window_fn(
                         self.state, self.seating, opp_params, opp_norm,
                         lrs, ecs, scs, jnp.asarray(K, jnp.int32),
                     )
+                    if self.debug_checkify:
+                        _err, _pool_out = _pool_out
+                        _err.throw()
+                    (
+                        self.state, self.seating, metrics, learner_stats,
+                        pool_records,
+                    ) = _pool_out
                     # The device-compacted record buffer is computed from
                     # the GLOBAL log (XLA inserts the collectives), so
                     # every host fetches the same rows — win-rate folds
@@ -1414,6 +1434,12 @@ class Trainer:
                     self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
                     self.tracker.ingest(fetched["stats"])
+                    if self._phase_times:
+                        # The pool path preempts the phase-timed
+                        # diagnostic step; drop the frozen pre-pool
+                        # perf/rollout|gae|update_time values instead of
+                        # re-logging them as if they were live.
+                        self._phase_times = {}
                     updates_done = k
                     lr = lr_last
                     if adaptive:

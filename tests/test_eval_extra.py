@@ -305,3 +305,45 @@ def test_checkpoint_source_dedup_cache(tmp_path):
     s2 = PlayerSource.checkpoint(path)
     assert s1.params is s2.params  # shared, not reloaded
     assert len(PlayerSource._load_cache) == 1
+
+
+# ------------------------------------------- CLI seat assignment (humans)
+def test_cli_human_never_truncated(monkeypatch):
+    """When checkpoints + humans exceed the seat count, excess NON-human
+    sources are dropped — the human always keeps a seat (a plain
+    seats[:P] used to silently cut the human off the tail)."""
+    import burn_ppo_tpu.eval as ev
+
+    srcs = [ev.PlayerSource.random(), ev.PlayerSource.random(),
+            ev.PlayerSource.human("Me")]
+    monkeypatch.setattr(ev, "build_sources",
+                        lambda a, e=None: (srcs, "connect_four"))
+    captured = {}
+
+    def fake_interactive(env, seats, num_games, temp, seed):
+        captured["seats"] = seats
+
+    monkeypatch.setattr(ev, "run_interactive_evaluation", fake_interactive)
+    ns = args(env_name=None, players=None, num_games=1, seed=0,
+              watch=False, step=False, animate=False, fps=2.0,
+              num_envs=8, humans=["Me"], random=False)
+    assert ev.run_evaluation_cli(ns) == 0
+    seats = captured["seats"]
+    assert len(seats) == 2
+    assert any(s.kind == "human" for s in seats)
+    # Order preserved: the surviving non-human keeps the first seat.
+    assert seats[0].kind == "random" and seats[1].kind == "human"
+
+
+def test_cli_too_many_humans_errors(monkeypatch, capsys):
+    import burn_ppo_tpu.eval as ev
+
+    srcs = [ev.PlayerSource.human("A"), ev.PlayerSource.human("B"),
+            ev.PlayerSource.human("C")]
+    monkeypatch.setattr(ev, "build_sources",
+                        lambda a, e=None: (srcs, "connect_four"))
+    ns = args(env_name=None, players=None, num_games=1, seed=0,
+              watch=False, step=False, animate=False, fps=2.0,
+              num_envs=8, humans=["A", "B", "C"], random=False)
+    assert ev.run_evaluation_cli(ns) == 1
+    assert "humans" in capsys.readouterr().out

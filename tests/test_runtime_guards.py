@@ -141,3 +141,22 @@ def test_checkify_mode_throws_on_nan(tmp_path):
     trainer = Trainer(cfg, tmp_path / "run", quiet=True, debug_checkify=True)
     with pytest.raises((JaxRuntimeError, RuntimeError)):
         trainer.train()
+
+
+def test_checkify_covers_pool_path(tmp_path):
+    """--checkify must wrap the opponent-pool window too: once the first
+    checkpoint joins the pool, the rotation branch IS the run, and a
+    plain-jit pool window would leave the whole run unchecked."""
+    cfg = guard_config(
+        "connect_four",
+        num_envs=4,
+        total_steps=256,
+        checkpoint_freq=64,
+        log_freq=64,
+        opponent_pool_fraction=0.5,
+    )
+    trainer = Trainer(cfg, tmp_path / "run", quiet=True, debug_checkify=True)
+    summary = trainer.train()
+    assert summary["final_step"] >= cfg.total_steps
+    # The pool path actually ran, and through a checkified window.
+    assert trainer._pool_windows, "pool window never built — path not exercised"
