@@ -37,7 +37,10 @@ class MetricsLogger:
     def log_scalar(self, name: str, value: float, step: int) -> None:
         value = float(value)
         if math.isnan(value) or math.isinf(value):
-            value = 0.0
+            # Reference parity: serde_json serializes non-finite floats
+            # as null (metrics.rs). Writing 0.0 here would make a
+            # diverged run read as a converged one on the plots.
+            value = None
         self._write({"type": "scalar", "step": step, "name": name, "value": value})
 
     def log_scalars(self, scalars: Dict[str, float], step: int) -> None:

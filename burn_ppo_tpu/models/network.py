@@ -120,13 +120,19 @@ class ActorCriticNetwork:
             final_ch = self._conv_channels(max(self.num_conv_layers - 1, 0))
             fc_in = h * w * final_ch + (self.obs_dim - h * w * c)
 
+            # Conv activations are ALWAYS relu (reference cnn.rs:214
+            # applies relu unconditionally; only the FC stack follows the
+            # configured activation, cnn.rs:226), so conv kernels get the
+            # relu gain sqrt(2) regardless of config.activation.
+            conv_gain = hidden_gain("relu")
+
             def conv_stack(k):
                 ks = jax.random.split(k, max(self.num_conv_layers, 1))
                 layers, in_ch = [], c
                 for i in range(self.num_conv_layers):
                     out_ch = self._conv_channels(i)
                     layers.append(
-                        conv_init(ks[i], self.kernel_size, self.kernel_size, in_ch, out_ch, gain)
+                        conv_init(ks[i], self.kernel_size, self.kernel_size, in_ch, out_ch, conv_gain)
                     )
                     in_ch = out_ch
                 return layers

@@ -145,4 +145,6 @@ def compute_explained_variance(
 
     var_ret = masked_var(returns)
     var_err = masked_var(returns - values)
-    return jnp.where(var_ret < 1e-12, 0.0, 1.0 - var_err / jnp.maximum(var_ret, 1e-12))
+    # Zero-variance cutoff 1e-8 matches the reference (ppo.rs:1281):
+    # near-constant returns report EV=0, not a huge garbage ratio.
+    return jnp.where(var_ret < 1e-8, 0.0, 1.0 - var_err / jnp.maximum(var_ret, 1e-8))

@@ -8,6 +8,8 @@ and all biases start at zero.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +22,10 @@ def orthogonal(key: jax.Array, shape: tuple, gain: float = 1.0, dtype=jnp.float3
     """
     if len(shape) < 2:
         raise ValueError("orthogonal init requires >= 2 dimensions")
-    n_rows = int(jnp.prod(jnp.asarray(shape[:-1])))
+    # math.prod, not jnp: this is a compile-time host constant, and every
+    # eager jnp op here is a device round trip (an HTTP one through the
+    # axon tunnel).
+    n_rows = math.prod(shape[:-1])
     n_cols = shape[-1]
     flat_shape = (max(n_rows, n_cols), min(n_rows, n_cols))
     a = jax.random.normal(key, flat_shape, dtype=jnp.float32)
@@ -34,7 +39,7 @@ def orthogonal(key: jax.Array, shape: tuple, gain: float = 1.0, dtype=jnp.float3
 
 def hidden_gain(activation: str) -> float:
     """Gain for hidden layers by activation (mlp.rs:84: sqrt(2) relu, 1.0 tanh)."""
-    return float(jnp.sqrt(2.0)) if activation == "relu" else 1.0
+    return math.sqrt(2.0) if activation == "relu" else 1.0
 
 
 POLICY_HEAD_GAIN = 0.01

@@ -144,6 +144,25 @@ def host_local_slice(x: jax.Array, axis: int = 0) -> np.ndarray:
             "along another dimension; reassembling along this axis would "
             "corrupt data. Pass the sharded axis explicitly."
         )
+    # Contiguity check: a device order that gives this process
+    # non-adjacent global blocks (e.g. rows [0:512] and [1024:1536])
+    # must not silently splice into one "contiguous" array — callers
+    # index the result as a contiguous env range.
+    starts = []
+    for s in shards:
+        if not s.index or axis >= len(s.index):
+            continue
+        sl = s.index[axis]
+        starts.append((sl.start or 0, sl.stop))
+    starts = sorted(set(starts))
+    for (a_start, a_stop), (b_start, _) in zip(starts, starts[1:]):
+        if a_stop != b_start:
+            raise ValueError(
+                f"host_local_slice(axis={axis}): this process's shards "
+                f"cover non-adjacent global blocks {starts}; concatenating "
+                "them would misattribute rows. Use a device order that "
+                "gives each process one contiguous block."
+            )
     if len(parts) == 1:
         return parts[0]
     return np.concatenate(parts, axis=axis)

@@ -25,10 +25,20 @@ DATA_AXIS = "data"
 
 
 def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh. ``num_devices`` 0 => all local devices."""
+    """1-D data-parallel mesh. ``num_devices`` 0 => all local devices.
+
+    Requesting more devices than exist is an ERROR, not a silent clamp:
+    a run sized for an 8-wide mesh landing on 1 device (e.g. the TPU
+    plugin failed to register) should fail loudly, not train at 1/8
+    throughput with mis-sized shards."""
     if devices is None:
         devices = jax.devices()
     if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: {num_devices} devices requested but only "
+                f"{len(devices)} available ({[str(d) for d in devices]})"
+            )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
 

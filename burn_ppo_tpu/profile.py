@@ -21,6 +21,7 @@ scope, which blocks on a device fence before closing the span.
 
 from __future__ import annotations
 
+import functools
 import json
 import threading
 import time
@@ -85,14 +86,24 @@ REGISTRY = ScopeRegistry()
 
 
 def _sync_devices() -> None:
-    """Block until enqueued device work finishes.
+    """Best-effort fence: enqueue + fetch a scalar on EVERY local device.
 
-    ``block_until_ready`` is unreliable on tunneled platforms, so fence by
-    round-tripping a scalar through the device.
+    On local backends a device executes its stream in order, so fetching
+    a freshly enqueued scalar awaits all prior work on that device —
+    including sharded programs, which enqueue on each participating
+    device. Through the axon tunnel only fetches *derived from a
+    program's outputs* are guaranteed to await it (CLAUDE.md), so
+    tunneled sync=True spans are best-effort; the authoritative phase
+    timings (train.py --profile-phases) fetch output checksums instead.
     """
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    float(jnp.zeros(()) + 0.0)  # forces a device round trip
+    for d in jax.local_devices():
+        # jnp.add on a committed operand runs on d's compute stream (a
+        # bare device_put is a transfer and may ride a separate stream).
+        float(np.asarray(jnp.add(jax.device_put(np.zeros(()), d), 0.0)))
 
 
 @contextmanager
@@ -113,12 +124,11 @@ def profiled(name: Optional[str] = None):
     def wrap(fn):
         scope = name or fn.__qualname__
 
+        @functools.wraps(fn)
         def inner(*a, **kw):
             with profile_scope(scope):
                 return fn(*a, **kw)
 
-        inner.__name__ = fn.__name__
-        inner.__qualname__ = fn.__qualname__
         return inner
 
     return wrap

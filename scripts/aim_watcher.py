@@ -95,9 +95,12 @@ class RunTracker:
                 if row.get("type") == "hparams":
                     self.run["hparams"] = row.get("data", {})
                 elif row.get("type") == "scalar":
-                    self.run.track(
-                        row["value"], name=row["name"], step=row["step"]
-                    )
+                    # null = non-finite at log time (serde_json parity);
+                    # nothing plottable, skip the point.
+                    if row.get("value") is not None:
+                        self.run.track(
+                            row["value"], name=row["name"], step=row["step"]
+                        )
                 count += 1
         if count:
             self.offset_path.write_text(str(self.offset))

@@ -148,3 +148,14 @@ def test_allgather_rows_reshapes_flat_input():
     out = dist.allgather_rows(flat, 3)
     assert out.dtype == np.int32
     assert out.shape == (2, 3)
+
+
+def test_make_mesh_rejects_overrequest():
+    """Requesting more devices than exist must fail loudly, not silently
+    clamp to a narrower mesh (mis-sized shards at 1/N throughput)."""
+    import pytest
+
+    from burn_ppo_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh(len(jax.devices()) + 1)

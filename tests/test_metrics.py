@@ -1,7 +1,7 @@
 """Metrics logger tests (reference src/metrics.rs: JSONL row formats)."""
 
 import json
-import math
+
 
 from burn_ppo_tpu.metrics import MetricsLogger
 
@@ -31,15 +31,15 @@ def test_hparams_row_format(tmp_path):
     assert rows[0]["data"]["env"] == "cartpole"
 
 
-def test_nan_inf_scrubbed(tmp_path):
+def test_nan_inf_written_as_null(tmp_path):
+    """Non-finite values serialize as null (serde_json parity) — NOT 0.0,
+    which would make a diverged run read as converged."""
     m = MetricsLogger(tmp_path)
     m.log_scalar("a", float("nan"), 1)
     m.log_scalar("b", float("inf"), 1)
     m.flush()
     rows = read_rows(tmp_path)
-    assert rows[0]["value"] == 0.0 and rows[1]["value"] == 0.0
-    for row in rows:
-        assert math.isfinite(row["value"])
+    assert rows[0]["value"] is None and rows[1]["value"] is None
 
 
 def test_append_only_across_instances(tmp_path):
