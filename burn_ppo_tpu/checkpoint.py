@@ -392,8 +392,20 @@ class CheckpointManager:
                 save_pytree(tmp / f"{name}.npz", tree)
             (tmp / "metadata.json").write_text(json.dumps(metadata, indent=2))
             if final.exists():
-                shutil.rmtree(final)
-            tmp.rename(final)
+                # Overwrite (supervisor child re-saving its resume step):
+                # park the old dir with an atomic rename FIRST, so the
+                # vulnerable window is two instant renames — not a long
+                # rmtree — and a crash in between leaves the previous
+                # data recoverable in step_N.old instead of gone. ".old"
+                # fails the step-dir digit check, so scans ignore it.
+                old = final.with_name(final.name + ".old")
+                if old.exists():
+                    shutil.rmtree(old)
+                final.rename(old)
+                tmp.rename(final)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                tmp.rename(final)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             raise

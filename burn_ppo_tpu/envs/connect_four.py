@@ -76,12 +76,16 @@ class ConnectFour(Environment):
     def step(self, state: ConnectFourState, action: jax.Array) -> ConnectFourState:
         # Column/cell accesses are one-hot contractions, not per-env
         # gathers/scatters (envs/base.py:onehot_eq note).
+        # Out-of-range actions end the episode with zero rewards like the
+        # reference (connect_four.rs:257: `action >= COLS` joins the
+        # invalid-move branch) — NOT clipped into a playable column.
+        out_of_range = (action < 0) | (action >= COLS)
         action = jnp.clip(action, 0, COLS - 1)
         col_oh = jnp.arange(COLS) == action
         col = jnp.sum(jnp.where(col_oh[None, :], state.board, 0), axis=1)
         filled = jnp.sum((col != 0).astype(jnp.int32))
         drop_row = ROWS - 1 - filled
-        invalid = (filled >= ROWS) | state.done
+        invalid = (filled >= ROWS) | state.done | out_of_range
 
         piece = state.current + 1
         cell = (jnp.arange(ROWS) == drop_row)[:, None] & col_oh[None, :]

@@ -94,8 +94,14 @@ def _wmean(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def _wstd(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Bessel-corrected (sample) std over valid rows: the reference's
+    normalize_advantages and stats use Burn's var(0), which divides by
+    n-1 (utils.rs:86); population std would shrink every normalized
+    advantage by sqrt((n-1)/n)."""
     m = _wmean(x, w)
-    return jnp.sqrt(_wmean(jnp.square(x - m), w))
+    n = jnp.sum(w)
+    ss = jnp.sum(jnp.square(x - m) * w)
+    return jnp.sqrt(ss / jnp.maximum(n - 1.0, 1.0))
 
 
 METRIC_KEYS = (
@@ -217,6 +223,7 @@ def ppo_update(
     lr: jax.Array,
     ent_coef: jax.Array,
     cfg: PPOUpdateConfig,
+    may_have_invalid: bool = False,
 ) -> Tuple[Any, Any, Optional[PopArtState], Dict[str, jax.Array]]:
     """Run num_epochs x num_minibatches PPO on flattened rollout data.
 
@@ -302,12 +309,17 @@ def ppo_update(
     # mb_body must skip such minibatches.  Statically gated: pad <
     # mb_size guarantees >=1 real row per minibatch and the guard (and
     # its lax.cond) compiles away for evenly-divisible configs.
+    # ``may_have_invalid`` forces the guard on for callers whose valid
+    # column carries real zeros (pool training: only learner turns are
+    # valid, pool_rollout.py:254) — there a shuffled minibatch can be
+    # all-invalid even with zero padding, the analog of a zero-length
+    # minibatch the reference's valid-index filtering makes impossible.
     if N % nmb != 0:
         mb_size = -(-N // nmb)
         pad = nmb * mb_size - N
     else:
         pad = 0
-    can_be_all_pad = pad >= mb_size
+    can_be_all_pad = pad >= mb_size or may_have_invalid
 
     def mb_body(carry, mb2d):
         params, opt_state, stop, sums, count = carry

@@ -49,9 +49,31 @@ _copy_tree = jax.jit(
 )
 
 
+def _fill_missing_norms(norms):
+    """Substitute identity normalizer states for opponents saved without
+    one, so a rotation mixing normalized and unnormalized checkpoints
+    (e.g. across a fork that toggled normalize_obs) stacks cleanly.
+
+    A zeroed ObsNormState has count=0, and obs_norm_apply is the
+    identity until count >= 2 — so the substitute reproduces exactly
+    what an unnormalized opponent expects (raw observations) while
+    normalized opponents keep their stats. Previously ANY missing
+    normalizer silently stripped normalization from the whole rotation.
+    """
+    if all(n is None for n in norms) or all(n is not None for n in norms):
+        return norms
+    template = next(n for n in norms if n is not None)
+    identity = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), template)
+    return [identity if n is None else n for n in norms]
+
+
 @dataclass
 class OpponentStats:
-    """EMA win-rate record per pool checkpoint (opponent_pool.rs:33-61)."""
+    """EMA record per pool checkpoint (opponent_pool.rs:33-61).
+
+    ``win_rate`` is the LEARNER's strict-win rate against this opponent
+    (opponent_pool.rs:40: "Learner's win rate against this opponent");
+    0.5 is the neutral prior for a fresh checkpoint."""
 
     name: str
     step: int
@@ -258,7 +280,7 @@ class OpponentPool:
         if jax.process_count() == 1:
             loaded = [self._load_params_device(n) for n in load_names]
             params_list = [p for p, _ in loaded]
-            norms = [n for _, n in loaded]
+            norms = _fill_missing_norms([n for _, n in loaded])
             stacked = _stack_trees(params_list)
             stacked_norm = (
                 _stack_trees(norms)
@@ -268,7 +290,7 @@ class OpponentPool:
         else:
             loaded = [self._load_params(n) for n in load_names]
             params_list = [p for p, _ in loaded]
-            norms = [n for _, n in loaded]
+            norms = _fill_missing_norms([n for _, n in loaded])
             stack = lambda *xs: np.stack([np.asarray(x) for x in xs])
             stacked = jax.tree_util.tree_map(stack, *params_list)
             stacked_norm = None
@@ -283,19 +305,22 @@ class OpponentPool:
     ) -> None:
         """Queue pairwise learner-vs-opponent outcomes (578-616).
 
-        Score from the OPPONENT's perspective: 1 = opponent beat learner,
-        0.5 = tie, 0 = learner beat opponent — this is the opponent's
-        win rate being tracked."""
+        ``win_rate`` tracks the LEARNER's strict-win rate vs each
+        opponent (reference opponent_pool.rs:39-41, 603: learner_won =
+        learner_placement < placement, so a tie counts as a loss). The
+        selection weight (1 - win_rate)^p then prioritizes opponents the
+        learner loses to. ``_recent_vs`` keeps the learner's pairwise
+        score with ties at 0.5 for the pool-performance proxy."""
         for name, opp_place in zip(opponent_names, opponent_placements):
-            if opp_place < learner_placement:
-                score = 1.0
-            elif opp_place == learner_placement:
-                score = 0.5
+            if learner_placement < opp_place:
+                win, pair = 1.0, 1.0
+            elif learner_placement == opp_place:
+                win, pair = 0.0, 0.5
             else:
-                score = 0.0
+                win, pair = 0.0, 0.0
             acc, n = self._pending.get(name, (0.0, 0))
-            self._pending[name] = (acc + score, n + 1)
-            self._recent_vs.setdefault(name, []).append(1.0 - score)
+            self._pending[name] = (acc + win, n + 1)
+            self._recent_vs.setdefault(name, []).append(pair)
             if len(self._recent_vs[name]) > 200:
                 self._recent_vs[name] = self._recent_vs[name][-200:]
 
@@ -318,9 +343,12 @@ class OpponentPool:
         opp_slots = np.asarray(opp_slots).reshape(len(learner_places), -1)
         opp_places = np.asarray(opp_places).reshape(len(learner_places), -1)
         lp = learner_places[:, None]
-        # Opponent's perspective: 1 = beat learner, 0.5 = tie, 0 = lost.
-        score = np.where(
-            opp_places < lp, 1.0, np.where(opp_places == lp, 0.5, 0.0)
+        # Learner's perspective (reference opponent_pool.rs:603): strict
+        # win for win_rate (ties = losses); ties at 0.5 for the pairwise
+        # pool-performance log.
+        win = np.where(lp < opp_places, 1.0, 0.0)
+        pair = np.where(
+            lp < opp_places, 1.0, np.where(lp == opp_places, 0.5, 0.0)
         )
         K = len(active_names)
         valid = (opp_slots >= 0) & (opp_slots < K)
@@ -330,9 +358,9 @@ class OpponentPool:
             if n == 0:
                 continue
             acc, n0 = self._pending.get(name, (0.0, 0))
-            self._pending[name] = (acc + float(score[m].sum()), n0 + n)
+            self._pending[name] = (acc + float(win[m].sum()), n0 + n)
             lst = self._recent_vs.setdefault(name, [])
-            lst.extend((1.0 - score[m]).tolist())
+            lst.extend(pair[m].tolist())
             if len(lst) > 200:
                 self._recent_vs[name] = lst[-200:]
 
@@ -390,7 +418,9 @@ class OpponentPool:
         items = sorted(self.stats.values(), key=lambda s: s.step)
         steps = [s.step for s in items]
         probs = [weights[s.name] / total for s in items]
-        wrs = [s.win_rate for s in items]
+        # Display the OPPONENT's win rate (1 - learner win_rate) like the
+        # reference graph (opponent_pool.rs:757-766 flips for display).
+        wrs = [1.0 - s.win_rate for s in items]
         fig, ax1 = plt.subplots(figsize=(8, 5))
         ax1.bar(range(len(steps)), probs, color="#4477aa", label="selection prob")
         ax1.set_xticks(range(len(steps)))

@@ -160,13 +160,14 @@ def _prepare_update(network, env, cfg, state, carry, batch):
     return obs_norm_new, data
 
 
-def _apply_update(network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef):
+def _apply_update(network, cfg, tx, state, carry, obs_norm_new, data, lr,
+                  ent_coef, may_have_invalid=False):
     """Optimizer phase: minibatch PPO epochs. Returns (new_state, metrics)."""
     ucfg = _update_cfg(cfg)
     key, sub = jax.random.split(state.update_key)
     params, opt_state, popart, metrics = ppo_update(
         network, tx, state.params, state.opt_state, data, state.popart,
-        sub, lr, ent_coef, ucfg,
+        sub, lr, ent_coef, ucfg, may_have_invalid=may_have_invalid,
     )
     if popart is not None:
         metrics["value_norm/mean"] = popart.mean
@@ -207,7 +208,8 @@ def _guard_counts(batch) -> Dict[str, jax.Array]:
 GUARD_METRIC_KEYS = ("invalid_mask_count", "nonfinite_count")
 
 
-def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
+def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef,
+                 may_have_invalid=False):
     """Shared post-rollout pipeline: normalizer advance, bootstrap, GAE,
     flatten, PPO update. Returns (new_state, metrics).
 
@@ -231,7 +233,8 @@ def _finish_step(network, env, cfg, tx, state, carry, batch, lr, ent_coef):
         state = state.replace(ent_state=ent_state)
     obs_norm_new, data = _prepare_update(network, env, cfg, state, carry, batch)
     new_state, metrics = _apply_update(
-        network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef
+        network, cfg, tx, state, carry, obs_norm_new, data, lr, ent_coef,
+        may_have_invalid=may_have_invalid,
     )
     if adaptive:
         new_state = new_state.replace(
@@ -396,8 +399,11 @@ def make_pool_train_step(
             return_clip=cfg.return_clip,
             env_context=ctx,
         )
+        # Pool rollouts mark only learner turns valid: the update must
+        # compile the all-invalid-minibatch skip guard.
         new_state, metrics = _finish_step(
-            network, env, cfg, tx, state, carry, batch, lr, ent_coef
+            network, env, cfg, tx, state, carry, batch, lr, ent_coef,
+            may_have_invalid=True,
         )
         learner_stats = summarize_episode_logs(
             jax.tree_util.tree_map(

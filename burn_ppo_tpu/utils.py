@@ -47,12 +47,23 @@ def compute_avg_points(
 def rewards_to_placements(rewards: Sequence[float]) -> List[int]:
     """Final per-player rewards -> 1-indexed competition-ranked placements
     (reference src/eval.rs:276-306): higher reward = better placement;
-    equal rewards share a placement; '1224' style."""
-    n = len(rewards)
+    rewards within 1e-6 of a tie group's leader share its placement
+    ('1224' style). The tolerance matters for accumulated float rewards
+    — exact comparison would split near-ties the reference groups."""
+    indexed = sorted(enumerate(rewards), key=lambda t: -t[1])
+    n = len(indexed)
     placements = [0] * n
-    for i, r in enumerate(rewards):
-        better = sum(1 for x in rewards if x > r)
-        placements[i] = better + 1
+    i = 0
+    while i < n:
+        leader = indexed[i][1]
+        j = i
+        # Group membership is measured against the group's LEADER, as in
+        # the reference's inner while (eval.rs:290-293).
+        while j < n and abs(indexed[j][1] - leader) < 1e-6:
+            j += 1
+        for k in range(i, j):
+            placements[indexed[k][0]] = i + 1
+        i = j
     return placements
 
 

@@ -19,19 +19,30 @@ def make_pool(tmp_path, **kw) -> OpponentPool:
 
 
 def test_ema_win_rate_convergence(tmp_path):
+    """win_rate is the LEARNER's win rate (opponent_pool.rs:40)."""
     pool = make_pool(tmp_path, select_alpha=0.1)
     pool.add_checkpoint("step_00000100", 100)
-    # opponent always loses to learner -> win rate decays toward 0
+    # learner always beats this opponent -> win rate climbs toward 1
     for _ in range(100):
         pool.queue_game_result(["step_00000100"], 1, [2])
         pool.apply_pending_updates()
-    assert pool.stats["step_00000100"].win_rate < 0.01
-    # always beats learner -> toward 1
+    assert pool.stats["step_00000100"].win_rate > 0.99
+    # learner always loses -> toward 0
     pool.add_checkpoint("step_00000200", 200)
     for _ in range(100):
         pool.queue_game_result(["step_00000200"], 2, [1])
         pool.apply_pending_updates()
-    assert pool.stats["step_00000200"].win_rate > 0.99
+    assert pool.stats["step_00000200"].win_rate < 0.01
+
+
+def test_tie_counts_as_learner_loss(tmp_path):
+    """Reference parity (opponent_pool.rs:603): learner_won is a STRICT
+    placement comparison, so a tie does not raise win_rate."""
+    pool = make_pool(tmp_path, select_alpha=0.5)
+    pool.add_checkpoint("a", 1)
+    pool.queue_game_result(["a"], 2, [2])  # tied game
+    pool.apply_pending_updates()
+    assert pool.stats["a"].win_rate == pytest.approx(0.5 * 0.5 + 0.0 * 0.5)
 
 
 def test_ema_applied_once_per_rotation(tmp_path):
@@ -39,20 +50,22 @@ def test_ema_applied_once_per_rotation(tmp_path):
     pool.add_checkpoint("a", 1)
     # 10 games queued in ONE rotation => one EMA step with batch average
     for _ in range(10):
-        pool.queue_game_result(["a"], 2, [1])  # opponent wins
+        pool.queue_game_result(["a"], 2, [1])  # learner loses
     pool.apply_pending_updates()
-    assert pool.stats["a"].win_rate == pytest.approx(0.5 * 0.5 + 1.0 * 0.5)
+    assert pool.stats["a"].win_rate == pytest.approx(0.5 * 0.5 + 0.0 * 0.5)
     assert pool.stats["a"].games_played == 10
 
 
 def test_selection_weights_focus_hard_opponents(tmp_path):
+    """(1 - learner_win_rate)^p prioritizes opponents the learner LOSES
+    to (opponent_pool.rs:431) — the hard opponent gets ~100x the weight."""
     pool = make_pool(tmp_path, select_exponent=2.0)
     pool.add_checkpoint("weak", 1)
     pool.add_checkpoint("hard", 2)
-    pool.stats["weak"].win_rate = 0.1  # learner beats it 90%
-    pool.stats["hard"].win_rate = 0.9
+    pool.stats["weak"].win_rate = 0.9  # learner beats it 90%
+    pool.stats["hard"].win_rate = 0.1  # learner loses 90%
     w = pool.selection_weights()
-    assert w["hard"] / w["weak"] < 0.05  # (0.1/0.9)^2
+    assert w["hard"] / w["weak"] > 20  # (0.9/0.1)^2 = 81
 
 
 def test_selection_weights_numerical_stability(tmp_path):

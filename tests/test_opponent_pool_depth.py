@@ -130,8 +130,9 @@ def test_win_rate_ema_basic(tmp_path):
     names = set_stats(pool, [0.5])
     pool.queue_game_result([names[0]], 2, [1])  # opponent beat learner
     pool.apply_pending_updates()
+    # win_rate is the LEARNER's (opponent_pool.rs:40): a loss blends 0.0.
     assert pool.stats[names[0]].win_rate == pytest.approx(
-        0.5 * 0.9 + 1.0 * 0.1
+        0.5 * 0.9 + 0.0 * 0.1
     )
 
 
@@ -140,7 +141,7 @@ def test_win_rate_ema_alpha_one_jumps_to_batch(tmp_path):
     names = set_stats(pool, [0.5])
     pool.queue_game_result([names[0]], 1, [2])  # learner won
     pool.apply_pending_updates()
-    assert pool.stats[names[0]].win_rate == pytest.approx(0.0)
+    assert pool.stats[names[0]].win_rate == pytest.approx(1.0)
 
 
 def test_win_rate_empty_rotation_no_change(tmp_path):
@@ -152,7 +153,7 @@ def test_win_rate_empty_rotation_no_change(tmp_path):
 
 
 def test_win_rate_convergence_to_true_rate(tmp_path):
-    # Feeding a constant 75% opponent win rate converges to 0.75.
+    # A constant 25% learner win rate converges to win_rate = 0.25.
     pool = mk_pool(tmp_path / "a", alpha=0.2)
     names = set_stats(pool, [0.5])
     for _ in range(60):
@@ -160,17 +161,17 @@ def test_win_rate_convergence_to_true_rate(tmp_path):
             pool.queue_game_result([names[0]], 2, [1])  # opp wins
         pool.queue_game_result([names[0]], 1, [2])  # learner wins
         pool.apply_pending_updates()
-    assert pool.stats[names[0]].win_rate == pytest.approx(0.75, abs=0.02)
+    assert pool.stats[names[0]].win_rate == pytest.approx(0.25, abs=0.02)
 
 
 def test_win_rate_bounds_under_extremes(tmp_path):
     pool = mk_pool(tmp_path / "a", alpha=0.9)
     names = set_stats(pool, [0.5])
     for _ in range(50):
-        pool.queue_game_result([names[0]], 2, [1])
+        pool.queue_game_result([names[0]], 2, [1])  # learner keeps losing
         pool.apply_pending_updates()
     assert 0.0 <= pool.stats[names[0]].win_rate <= 1.0
-    assert pool.stats[names[0]].win_rate > 0.99
+    assert pool.stats[names[0]].win_rate < 0.01
 
 
 def test_batch_ema_counts_games(tmp_path):

@@ -115,9 +115,11 @@ def test_queue_game_result_scores(tmp_path):
     # opp2 placed 3rd (lost)
     pool.queue_game_result(names, 2, [1, 2, 3])
     pool.apply_pending_updates()
-    assert pool.stats[names[0]].win_rate == pytest.approx(1.0)
-    assert pool.stats[names[1]].win_rate == pytest.approx(0.5)
-    assert pool.stats[names[2]].win_rate == pytest.approx(0.0)
+    # Learner-perspective STRICT wins (opponent_pool.rs:603): lost to
+    # opp0, tied opp1 (tie = loss), beat opp2.
+    assert pool.stats[names[0]].win_rate == pytest.approx(0.0)
+    assert pool.stats[names[1]].win_rate == pytest.approx(0.0)
+    assert pool.stats[names[2]].win_rate == pytest.approx(1.0)
 
 
 def test_ema_alpha_blend(tmp_path):
@@ -126,7 +128,7 @@ def test_ema_alpha_blend(tmp_path):
     name = next(iter(pool.stats))
     pool.queue_game_result([name], 2, [1])  # opponent won
     pool.apply_pending_updates()
-    assert pool.stats[name].win_rate == pytest.approx(0.5 * 0.9 + 1.0 * 0.1)
+    assert pool.stats[name].win_rate == pytest.approx(0.5 * 0.9 + 0.0 * 0.1)
 
 
 def test_ema_batched_once_per_rotation(tmp_path):
@@ -138,8 +140,8 @@ def test_ema_batched_once_per_rotation(tmp_path):
     for _ in range(10):
         pool.queue_game_result([name], 1, [2])  # learner always wins
     pool.apply_pending_updates()
-    # one blend: 0.5*0.5 + 0.0*0.5 = 0.25 (not 0.5^11)
-    assert pool.stats[name].win_rate == pytest.approx(0.25)
+    # one blend: 0.5*0.5 + 1.0*0.5 = 0.75 (not a per-game EMA chain)
+    assert pool.stats[name].win_rate == pytest.approx(0.75)
     assert pool.stats[name].games_played == 10
 
 
