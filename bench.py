@@ -37,9 +37,18 @@ import sys
 import time
 
 
+def _round_num(path: str) -> int:
+    try:
+        return int("".join(c for c in path if c.isdigit()) or 0)
+    except ValueError:
+        return 0
+
+
 def previous_bench() -> dict | None:
     best = None
-    for path in sorted(glob.glob("BENCH_r*.json")):
+    # Numeric round order: lexicographic sort would put BENCH_r100
+    # before BENCH_r99 and compare against a stale round.
+    for path in sorted(glob.glob("BENCH_r*.json"), key=_round_num):
         try:
             data = json.loads(open(path).read())
             # The driver wraps the printed line under "parsed".

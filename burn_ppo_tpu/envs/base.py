@@ -70,6 +70,24 @@ def read_row(arr2d: jax.Array, i: jax.Array, size: int) -> jax.Array:
     return jnp.sum(jnp.where(oh[:, None], arr2d, 0), axis=0)
 
 
+def first_true_clockwise(ok: jax.Array, frm: jax.Array, n) -> jax.Array:
+    """Index of the first True in ``ok`` clockwise after ``frm``
+    (wrapping through frm itself last); (frm+1) % n when none are True.
+
+    ``ok`` may be longer than the active player count ``n`` (padded seat
+    arrays) as long as padded entries are False. Distance-argmin
+    formulation — no gather. Shared turn-order primitive for the
+    multiplayer envs (liars_dice next-alive, skull next-alive /
+    next-non-passed)."""
+    size = ok.shape[-1]
+    idx = jnp.arange(size)
+    dist = (idx - frm - 1) % n
+    d = jnp.where(ok, dist, size + 1)
+    return jnp.where(
+        jnp.any(ok), jnp.argmin(d), (frm + 1) % n
+    ).astype(jnp.int32)
+
+
 def push_ring_row(
     hist: jax.Array, hist_len: jax.Array, entry: jax.Array, size: int
 ):

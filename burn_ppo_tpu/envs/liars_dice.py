@@ -33,6 +33,7 @@ from burn_ppo_tpu.envs import register
 from burn_ppo_tpu.envs.base import (
     Environment,
     EnvSpec,
+    first_true_clockwise,
     onehot_eq,
     push_ring_row,
     read_at,
@@ -51,7 +52,10 @@ OBS_DIM = (
     DICE * FACES + P + P + P + MAX_DICE * FACES + 1 + 1 + P + HIST * HIST_ENTRY
 )  # 270
 PRIV_DIM = 120  # 110 exact, padded (liars_dice.rs:459)
-PLACEMENT_REWARDS = jnp.array([1.0, 0.33, -0.33, -1.0], jnp.float32)
+# Plain tuple, NOT a module-level jnp constant: materializing a device
+# array at import time would initialize the ambient (axon-tunnel) JAX
+# backend before callers can force the CPU platform (CLAUDE.md gotcha).
+PLACEMENT_REWARDS = (1.0, 0.33, -0.33, -1.0)
 
 
 class LiarsDiceState(struct.PyTreeNode):
@@ -79,15 +83,9 @@ def _roll_dice(key):
 
 
 def _next_alive(dice_count, from_player):
-    """First alive player clockwise after ``from_player`` —
-    distance-argmin formulation, no gather (envs/base.py:onehot_eq)."""
-    alive = dice_count > 0
-    idx = jnp.arange(P)
-    dist = (idx - from_player - 1) % P
-    d = jnp.where(alive, dist, P + 1)
-    return jnp.where(
-        jnp.any(alive), jnp.argmin(d), (from_player + 1) % P
-    ).astype(jnp.int32)
+    """First alive player clockwise after ``from_player``
+    (base.first_true_clockwise, the shared turn-order primitive)."""
+    return first_true_clockwise(dice_count > 0, from_player, P)
 
 
 def _count_face(dice, dice_count, face):
@@ -197,7 +195,12 @@ class LiarsDice(Environment):
                 == jnp.arange(P)[None, :]
             )
             final = jnp.sum(
-                jnp.where(pl_oh, PLACEMENT_REWARDS[None, :], 0.0), axis=1
+                jnp.where(
+                    pl_oh,
+                    jnp.asarray(PLACEMENT_REWARDS, jnp.float32)[None, :],
+                    0.0,
+                ),
+                axis=1,
             )
             rewards = jnp.where(game_over, final, rewards)
 

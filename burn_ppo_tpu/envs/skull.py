@@ -133,15 +133,11 @@ class Skull(Environment):
         return s.has_trap.astype(jnp.int32) + s.rose_count
 
     def _first_clockwise(self, ok: jax.Array, frm: jax.Array) -> jax.Array:
-        """Index of the first True in ``ok`` clockwise after ``frm``
-        (wrapping through frm itself last); (frm+1)%n when none.
-        Distance-argmin formulation — no gather."""
-        idx = jnp.arange(MAXP)
-        dist = (idx - frm - 1) % self.n
-        d = jnp.where(ok, dist, MAXP + 1)
-        return jnp.where(
-            jnp.any(ok), jnp.argmin(d), (frm + 1) % self.n
-        ).astype(jnp.int32)
+        """base.first_true_clockwise over the MAXP-padded seat arrays
+        (padded seats are never alive, so ok is False there)."""
+        from burn_ppo_tpu.envs.base import first_true_clockwise
+
+        return first_true_clockwise(ok, frm, self.n)
 
     def _next_alive(self, s: SkullState, frm: jax.Array) -> jax.Array:
         return self._first_clockwise(self._alive(s), frm)

@@ -119,10 +119,17 @@ class WindowedEpisodeTracker:
 
     @property
     def return_max(self) -> float:
+        # Neutral on an empty window like every other property — raising
+        # from max() on an empty sequence would crash any caller that
+        # reads before the first ingest (e.g. right after resume).
+        if not self.updates:
+            return 0.0
         return max(float(u["ret0_max"]) for u in self.updates)
 
     @property
     def return_min(self) -> float:
+        if not self.updates:
+            return 0.0
         return min(float(u["ret0_min"]) for u in self.updates)
 
     @property
