@@ -65,6 +65,11 @@ def _jsonable(v: Any) -> Any:
         return {k: _jsonable(x) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
-    if isinstance(v, (str, int, float, bool)) or v is None:
+    if isinstance(v, float):
+        # json.dumps would emit bare NaN/Infinity (invalid JSON) and
+        # break strict consumers of the whole line; serde_json (the
+        # reference's serializer) emits null for non-finite floats.
+        return v if math.isfinite(v) else None
+    if isinstance(v, (str, int, bool)) or v is None:
         return v
     return str(v)

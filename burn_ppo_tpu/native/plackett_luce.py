@@ -36,6 +36,7 @@ def _get_lib():
         ctypes.c_int32, ctypes.c_double, ctypes.c_double,
         ctypes.c_double, ctypes.c_double,
         f64p, f64p, i32p, f64p, i32p,
+        f64p,  # out_gammas (raw centered MM gammas)
     ]
     _lib = lib
     return _lib
@@ -56,10 +57,14 @@ def compute(
     anchor_elo: float,
     ci_inflation: float,
     init_gammas: Optional[np.ndarray] = None,
-) -> Optional[Tuple[np.ndarray, np.ndarray, int, float, bool]]:
+) -> Optional[Tuple[np.ndarray, np.ndarray, int, float, bool, np.ndarray]]:
     """Run the native engine; None when the library is unavailable.
 
-    Returns (ratings, uncertainties, iterations, final_delta, converged).
+    Returns (ratings, uncertainties, iterations, final_delta, converged,
+    gammas) — gammas are the raw centered MM values, the correct warm
+    start for the next solve (ratings are NOT invertible back to gammas:
+    zero-game players report the anchor placeholder, rating_history.rs
+    reported-rating semantics).
     """
     lib = _get_lib()
     if lib is None:
@@ -89,6 +94,7 @@ def compute(
 
     ratings = np.zeros(num_players, dtype=np.float64)
     uncertainties = np.zeros(num_players, dtype=np.float64)
+    gammas = np.zeros(num_players, dtype=np.float64)
     iters = ctypes.c_int32(0)
     delta = ctypes.c_double(0.0)
     converged = ctypes.c_int32(0)
@@ -112,9 +118,11 @@ def compute(
         anchor_elo, ci_inflation,
         ptr(ratings, ctypes.c_double), ptr(uncertainties, ctypes.c_double),
         ctypes.byref(iters), ctypes.byref(delta), ctypes.byref(converged),
+        ptr(gammas, ctypes.c_double),
     )
     if rc != 0:
         return None
-    return ratings, uncertainties, int(iters.value), float(delta.value), bool(
-        converged.value
+    return (
+        ratings, uncertainties, int(iters.value), float(delta.value),
+        bool(converged.value), gammas,
     )

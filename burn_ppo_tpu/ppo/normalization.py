@@ -18,7 +18,10 @@ Three normalizers with behavioral parity to the reference
 
 All updates use Chan's parallel Welford merge, which is mathematically
 identical to the reference's sequential Welford over the same batch, but
-runs as one fused reduction on device.
+runs as one fused reduction on device. The return normalizer goes one
+step further: the reference normalizes env e with stats updated through
+env e *within* the batch, so its per-env sequence is reproduced exactly
+with an inclusive associative_scan of the merge (see return_norm_step).
 """
 
 from __future__ import annotations
@@ -99,6 +102,113 @@ class ReturnNormState(struct.PyTreeNode):
         )
 
 
+def return_norm_roll(
+    returns: jax.Array,  # [E, P] rolling discounted returns
+    rewards: jax.Array,  # [E] acting player's raw rewards this step
+    acting: jax.Array,  # [E] int player indices
+    dones: jax.Array,  # [E] bool / float
+    gamma: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Elementwise half of the reference's per-step sequence — the part
+    that must stay inside the rollout scan (the rolling return is carried
+    state): update_return, capture the post-update sample, reset the
+    acting player on done (normalization.rs:163-215).
+
+    Returns (new_returns [E, P], samples [E]). The Welford-stats +
+    normalize half runs once per rollout in ``return_norm_finalize`` —
+    the policy never consumes normalized rewards, only GAE does, after
+    the rollout, so there is no reason to pay per-step reduction kernels
+    inside the scan.
+    """
+    P = returns.shape[-1]
+    dones = dones.astype(jnp.bool_)
+    onehot = jax.nn.one_hot(acting, P, dtype=returns.dtype)
+    # returns[e, acting] = returns[e, acting] * gamma + reward
+    updated = returns * (1.0 - onehot) + (
+        returns * gamma + rewards[:, None]
+    ) * onehot
+    samples = jnp.sum(updated * onehot, axis=-1)  # [E]
+    # Reset the acting player's rolling return on done (after capture).
+    updated = jnp.where(dones[:, None], updated * (1.0 - onehot), updated)
+    return updated, samples
+
+
+def return_norm_finalize(
+    state: ReturnNormState,
+    samples: jax.Array,  # [..., E] post-update rolling-return samples
+    rewards: jax.Array,  # [..., E] raw acting-player rewards
+    clip: float = 10.0,
+    valid: Optional[jax.Array] = None,  # [..., E] learner-turn stats mask
+) -> Tuple[ReturnNormState, jax.Array]:
+    """Prefix-Welford stats + normalization for a whole rollout in ONE
+    fused pass.
+
+    The reference updates its GLOBAL Welford accumulator one env at a
+    time (step-major, env index order — src/ppo.rs:390-408) and
+    normalizes each reward with stats that INCLUDE its own sample
+    (normalization.rs:177-201). Flattening [T, E] row-major reproduces
+    that exact visitation order, and the running stats at every position
+    come from inclusive prefix sums in shifted coordinates
+    (u = x - batch mean, the standard stable closed form). A whole-batch
+    Chan merge would instead normalize everything by end-of-batch stats
+    — divergent early in a fresh run, where the reference's count<2
+    guard visibly passes the first samples through unnormalized.
+
+    ``state.returns`` passes through untouched (it was advanced by
+    ``return_norm_roll`` inside the scan). Returns
+    (state with updated mean/m2/count, normalized rewards like
+    ``rewards``).
+    """
+    shape = rewards.shape
+    x = samples.reshape(-1)
+    r = rewards.reshape(-1)
+    n = x.shape[0]
+    if valid is None:
+        w = None
+        n_valid = jnp.asarray(float(n), jnp.float32)
+        count_e = state.count + jnp.arange(1, n + 1, dtype=jnp.float32)
+        shift = jnp.sum(x) / n_valid
+        u = x - shift
+        s_e = jnp.cumsum(u)
+        q_e = jnp.cumsum(jnp.square(u))
+    else:
+        w = valid.reshape(-1).astype(jnp.float32)
+        n_valid = jnp.sum(w)
+        count_e = state.count + jnp.cumsum(w)
+        shift = jnp.sum(x * w) / jnp.maximum(n_valid, 1.0)
+        u = x - shift
+        s_e = jnp.cumsum(w * u)
+        q_e = jnp.cumsum(w * jnp.square(u))
+    safe_c = jnp.maximum(count_e, 1.0)
+    base_u = state.mean - shift
+    mean_u_e = (state.count * base_u + s_e) / safe_c
+    m2_e = (
+        state.m2
+        + state.count * jnp.square(base_u)
+        + q_e
+        - count_e * jnp.square(mean_u_e)
+    )
+    m2_e = jnp.maximum(m2_e, 0.0)  # tiny negatives from rounding
+
+    # Normalize each position with its own post-update prefix stats
+    # (variance-only, clipped; identity until that prefix has 2 samples).
+    std = jnp.sqrt(m2_e / safe_c + 1e-8)
+    normalized = jnp.clip(r / std, -clip, clip)
+    normalized = jnp.where(count_e < 2.0, r, normalized)
+
+    # An all-invalid batch must leave the accumulator EXACTLY unchanged
+    # (the shift/unshift roundtrip would otherwise perturb it by an ulp).
+    any_valid = n_valid > 0.0
+    return (
+        state.replace(
+            mean=jnp.where(any_valid, mean_u_e[-1] + shift, state.mean),
+            m2=jnp.where(any_valid, m2_e[-1], state.m2),
+            count=jnp.where(any_valid, count_e[-1], state.count),
+        ),
+        normalized.reshape(shape),
+    )
+
+
 def return_norm_step(
     state: ReturnNormState,
     rewards: jax.Array,  # [E] acting player's raw rewards this step
@@ -108,46 +218,25 @@ def return_norm_step(
     clip: float = 10.0,
     valid: Optional[jax.Array] = None,  # [E] learner-turn mask for stats
 ) -> Tuple[ReturnNormState, jax.Array]:
-    """One vectorized step of the reference's per-step sequence
+    """One full step of the reference's per-step sequence
     (normalization.rs:163-215 + src/ppo.rs:390-408):
 
       update_return -> update_variance_stats (valid turns) -> normalize
       -> reset acting player's rolling return on done.
 
+    Composition of ``return_norm_roll`` + ``return_norm_finalize`` on a
+    single step — the rollout scans call the two halves separately so
+    the stats/normalize reductions run once per rollout, not per step.
+
     Returns (new_state, normalized_rewards [E]).
     """
-    E, P = state.returns.shape
-    dones = dones.astype(jnp.bool_)
-    if valid is None:
-        valid = jnp.ones((E,), jnp.bool_)
-    onehot = jax.nn.one_hot(acting, P, dtype=state.returns.dtype)
-
-    # returns[e, acting] = returns[e, acting] * gamma + reward
-    updated = state.returns * (1.0 - onehot) + (
-        state.returns * gamma + rewards[:, None]
-    ) * onehot
-
-    # Welford merge of the acting-player rolling returns on valid turns.
-    samples = jnp.sum(updated * onehot, axis=-1)  # [E]
-    w = valid.astype(jnp.float32)
-    n = jnp.sum(w)
-    mean_b = jnp.sum(samples * w) / jnp.maximum(n, 1.0)
-    m2_b = jnp.sum(jnp.square(samples - mean_b) * w)
-    mean, m2, count = _welford_merge(state.mean, state.m2, state.count, mean_b, m2_b, n)
-
-    # Normalize with post-update stats (variance-only, clipped).
-    var = m2 / jnp.maximum(count, 1.0)
-    std = jnp.sqrt(var + 1e-8)
-    normalized = jnp.clip(rewards / std, -clip, clip)
-    normalized = jnp.where(count < 2.0, rewards, normalized)
-
-    # Reset the acting player's rolling return on done (after stats).
-    updated = jnp.where(dones[:, None], updated * (1.0 - onehot), updated)
-
-    return (
-        ReturnNormState(returns=updated, mean=mean, m2=m2, count=count),
-        normalized,
+    updated, samples = return_norm_roll(
+        state.returns, rewards, acting, dones, gamma
     )
+    new_state, normalized = return_norm_finalize(
+        state, samples, rewards, clip, valid=valid
+    )
+    return new_state.replace(returns=updated), normalized
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,8 @@ from burn_ppo_tpu.ppo.normalization import (
     PopArtState,
     obs_norm_apply,
     popart_denormalize,
-    return_norm_step,
+    return_norm_finalize,
+    return_norm_roll,
 )
 from burn_ppo_tpu.ppo.rollout import RolloutBatch, RolloutCarry
 
@@ -190,21 +191,21 @@ def collect_rollouts_with_opponents(
         oh_r = onehot.astype(all_rewards.dtype)
         acting_reward = jnp.sum(all_rewards * oh_r, axis=1)
         # Return normalization, reference pool semantics (ppo.rs:952-969):
-        # the rolling return advances for EVERY acting player, variance
-        # stats fold on LEARNER turns only (opponent turns must not
-        # steer the statistics), the acting reward normalizes with the
-        # post-update stats, and — as in the reference buffer fill
-        # (ppo.rs:981-996) — the normalized value replaces the acting
-        # slot of all_rewards so GAE attribution sees it.
+        # the rolling return advances for EVERY acting player (variance
+        # stats + normalization happen after the scan, learner turns
+        # only — see return_norm_finalize below).
         ret_norm = c.return_norm
+        # Scalar placeholder when normalization is off (no dead [T, E]
+        # stacked output); normalize_returns is static, so the scan's
+        # output structure is consistent.
+        samples = jnp.zeros((), jnp.float32)
         if normalize_returns:
-            ret_norm, acting_reward = return_norm_step(
-                ret_norm, acting_reward, players, dones, gamma, return_clip,
-                valid=learner_turn,
+            # Elementwise rolling-return update only; stats + normalize
+            # run once over the whole [T, E] batch after the scan.
+            new_returns, samples = return_norm_roll(
+                ret_norm.returns, acting_reward, players, dones, gamma
             )
-            all_rewards = (
-                all_rewards * (1.0 - oh_r) + acting_reward[:, None] * oh_r
-            )
+            ret_norm = ret_norm.replace(returns=new_returns)
         # Record last values only on learner turns (learner's own chain).
         last_vpp = jnp.where(
             learner_turn[:, None] & (onehot > 0),
@@ -263,9 +264,31 @@ def collect_rollouts_with_opponents(
         new_seat_state = PoolSeating(
             learner_seat=new_learner_seat, seat_opp=new_seat_opp
         )
-        return (new_carry, new_seat_state), (out, step_log)
+        return (new_carry, new_seat_state), (out, step_log, samples)
 
-    (carry_out, seat_out), (batch, logs) = jax.lax.scan(
+    (carry_out, seat_out), (batch, logs, samples) = jax.lax.scan(
         step_fn, (carry, seating), None, length=num_steps
     )
+    if normalize_returns:
+        # Reference pool semantics (ppo.rs:952-996): variance stats fold
+        # on LEARNER turns only, every acting reward normalizes with the
+        # running (prefix) stats, and the normalized value replaces the
+        # acting slot of all_rewards so GAE attribution sees it.
+        new_norm, normalized = return_norm_finalize(
+            carry_out.return_norm,
+            samples,
+            batch.rewards,
+            return_clip,
+            valid=batch.valid_mask,
+        )
+        carry_out = carry_out.replace(return_norm=new_norm)
+        P = batch.all_rewards.shape[-1]
+        oh_r = jax.nn.one_hot(
+            batch.acting_players, P, dtype=batch.all_rewards.dtype
+        )
+        batch = batch.replace(
+            rewards=normalized,
+            all_rewards=batch.all_rewards * (1.0 - oh_r)
+            + normalized[..., None] * oh_r,
+        )
     return carry_out, seat_out, batch, logs

@@ -43,7 +43,8 @@ from burn_ppo_tpu.ppo.normalization import (
     ReturnNormState,
     obs_norm_apply,
     popart_denormalize,
-    return_norm_step,
+    return_norm_finalize,
+    return_norm_roll,
 )
 
 
@@ -166,11 +167,19 @@ def collect_rollouts(
         acting_reward = jnp.sum(all_rewards * onehot, axis=1)
 
         ret_norm = c.return_norm
+        # Scalar placeholder when normalization is off (no dead [T, E]
+        # stacked output); normalize_returns is static, so the scan's
+        # output structure is consistent.
+        samples = jnp.zeros((), jnp.float32)
         if normalize_returns:
-            ret_norm, acting_reward = return_norm_step(
-                ret_norm, acting_reward, players, dones, gamma, return_clip
+            # Only the elementwise rolling-return update stays in the
+            # scan; the Welford stats + normalization run ONCE over the
+            # whole [T, E] batch after it (return_norm_finalize) — the
+            # policy never consumes normalized rewards, only GAE does.
+            new_returns, samples = return_norm_roll(
+                ret_norm.returns, acting_reward, players, dones, gamma
             )
-        all_rewards = all_rewards * (1.0 - onehot) + acting_reward[:, None] * onehot
+            ret_norm = ret_norm.replace(returns=new_returns)
 
         last_vpp = (
             c.last_value_per_player * (1.0 - onehot) + values[:, None] * onehot
@@ -196,9 +205,24 @@ def collect_rollouts(
             last_value_per_player=last_vpp,
             key=key,
         )
-        return new_carry, (out, log)
+        return new_carry, (out, log, samples)
 
-    carry_out, (batch, logs) = jax.lax.scan(step_fn, carry, None, length=num_steps)
+    carry_out, (batch, logs, samples) = jax.lax.scan(
+        step_fn, carry, None, length=num_steps
+    )
+    if normalize_returns:
+        new_norm, normalized = return_norm_finalize(
+            carry_out.return_norm, samples, batch.rewards, return_clip
+        )
+        carry_out = carry_out.replace(return_norm=new_norm)
+        onehot = jax.nn.one_hot(
+            batch.acting_players, P, dtype=batch.all_rewards.dtype
+        )
+        batch = batch.replace(
+            rewards=normalized,
+            all_rewards=batch.all_rewards * (1.0 - onehot)
+            + normalized[..., None] * onehot,
+        )
     return carry_out, batch, logs
 
 

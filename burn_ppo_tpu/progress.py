@@ -36,6 +36,7 @@ class TrainingProgress:
         self.stream = stream or sys.stdout
         self.start_time = time.time()
         self._live = False
+        self._last_line = ""
         self._isatty = hasattr(self.stream, "isatty") and self.stream.isatty()
 
     # ------------------------------------------------------------------
@@ -65,6 +66,7 @@ class TrainingProgress:
             self.stream.write("\r\x1b[2K" + text)
             self.stream.flush()
             self._live = True
+            self._last_line = text
         else:
             self.stream.write(text + "\n")
             self.stream.flush()
@@ -94,11 +96,17 @@ class TrainingProgress:
         self._render(self._line(step, sps, stats))
 
     def println(self, message: str) -> None:
-        """Print a message through (above) the live bar."""
+        """Print a message through (above) the live bar.
+
+        The bar is redrawn beneath the message, like indicatif's
+        println (progress.rs): without the redraw the bar vanishes
+        until the next update and a following finish() would emit a
+        newline for a bar line that no longer exists."""
         if self.quiet:
             return
         if self._live and self._isatty:
             self.stream.write("\r\x1b[2K" + message + "\n")
+            self.stream.write("\r\x1b[2K" + self._last_line)
         else:
             self.stream.write(message + "\n")
         self.stream.flush()

@@ -66,6 +66,12 @@ class RatingStats:
 class RatingResult:
     ratings: List[PlayerRating]
     stats: RatingStats
+    # Raw centered MM gammas — the correct warm start for an incremental
+    # re-solve. Reported ratings are NOT invertible back to gammas:
+    # zero-game players report the anchor placeholder (rating_history.rs
+    # reported-rating semantics), so reconstructing from ratings poisons
+    # any player whose games are all draws (it keeps its init forever).
+    gammas: Optional[np.ndarray] = None
 
 
 @dataclass(frozen=True)
@@ -267,7 +273,7 @@ def compute_ratings_from_comparisons(
     reference's from-zero trajectory is the defined behavior)."""
     t0 = time.perf_counter()
 
-    def _done(ratings, converged=True, iters=0, delta=0.0):
+    def _done(ratings, converged=True, iters=0, delta=0.0, gammas=None):
         return RatingResult(
             ratings,
             RatingStats(
@@ -276,12 +282,16 @@ def compute_ratings_from_comparisons(
                 final_delta=delta,
                 computation_time_ms=(time.perf_counter() - t0) * 1000.0,
             ),
+            gammas=gammas,
         )
 
     if num_players == 0:
-        return _done([])
+        return _done([], gammas=np.zeros(0))
     if len(comparisons) == 0:
-        return _done([PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)])
+        return _done(
+            [PlayerRating(config.anchor_elo, 350.0) for _ in range(num_players)],
+            gammas=np.zeros(num_players),
+        )
 
     # Native fast path: the MM loop + Fisher information in C++
     # (native/plackett_luce.cpp), exact same math; falls through to the
@@ -295,7 +305,7 @@ def compute_ratings_from_comparisons(
         init_gammas=init_gammas,
     )
     if native_out is not None:
-        n_ratings, n_unc, iters, delta, converged = native_out
+        n_ratings, n_unc, iters, delta, converged, n_gammas = native_out
         return _done(
             [
                 PlayerRating(float(n_ratings[i]), float(n_unc[i]))
@@ -304,6 +314,7 @@ def compute_ratings_from_comparisons(
             converged,
             iters,
             delta,
+            gammas=n_gammas,
         )
 
     if isinstance(comparisons, ComparisonArrays):
@@ -352,7 +363,7 @@ def compute_ratings_from_comparisons(
             )
         else:
             ratings.append(PlayerRating(config.anchor_elo, 350.0))
-    return _done(ratings, converged, iters, delta)
+    return _done(ratings, converged, iters, delta, gammas=gammas)
 
 
 def print_rating_guide() -> None:

@@ -103,6 +103,12 @@ class RatingHistory:
             h._register(game["current"], 0)
             for o in game["opponents"]:
                 h._register(o, 0)
+        # Metadata lost/incomplete but games survive: anchor the earliest
+        # registered player (rating_history.rs:145-146). Without this the
+        # next on_checkpoint_saved would anchor 1000 at the NEWEST
+        # checkpoint, rewriting every historical rating.
+        if h.first_checkpoint_idx is None and h.idx_to_checkpoint:
+            h.first_checkpoint_idx = 0
         return h
 
     # ------------------------------------------------------------------
@@ -138,8 +144,12 @@ class RatingHistory:
                     )
                 ]
                 self._games_played = z["games_played"].astype(np.int64)
-                if "warm_gammas" in z.files:
-                    self._warm_gammas = z["warm_gammas"]
+                # "warm_gammas_raw" holds solver gammas; the legacy
+                # "warm_gammas" key held rating-reconstructed values
+                # (poisoned for zero-game players) and is ignored — a
+                # cold MM start just costs a few extra iterations.
+                if "warm_gammas_raw" in z.files:
+                    self._warm_gammas = z["warm_gammas_raw"]
                 self._cache_saved_upto = int(z["num_games"])
                 return int(z["num_games"])
         except Exception:
@@ -170,7 +180,7 @@ class RatingHistory:
             num_games=np.int64(self._expanded_upto),
         )
         if self._warm_gammas is not None:
-            payload["warm_gammas"] = self._warm_gammas
+            payload["warm_gammas_raw"] = self._warm_gammas
         with open(tmp, "wb") as f:
             np.savez(f, **payload)
         tmp.rename(self.cache_path)
@@ -298,11 +308,34 @@ class RatingHistory:
         result = compute_ratings_from_comparisons(
             n, arrays, games_played[:n], 0, PlackettLuceConfig(), init_gammas=init
         )
-        from burn_ppo_tpu.selfplay.plackett_luce import ELO_SCALE
-
+        # Warm-start from the solver's RAW centered gammas. Reported
+        # ratings are not invertible back to gammas: a zero-game player
+        # reports the anchor placeholder (1000), and reconstructing from
+        # that would hand it elo_to_gamma(1000) ≈ -2.88 as its next init
+        # — which sticks forever if its only games are draws (zero
+        # comparisons -> the MM "keep current" branch), reporting ~500
+        # Elo below the reference's from-zero trajectory.
+        #
+        # Guard against the epsilon-freeze pathology: a player the MM
+        # can't place finitely (never won, or never lost, any comparison
+        # — realistic when one checkpoint sweeps another early in
+        # training) runs off until comparison denominators underflow
+        # epsilon (|gamma| ≈ ln(weight/eps) ≈ 25), where updates freeze
+        # and the solve reports "converged". That frozen point is
+        # init-dependent, so warm-starting from it breaks parity with
+        # the reference's always-from-zero solve (observed: 4000+ Elo on
+        # the WINNING player via centering drag). Healthy competitive
+        # pools stay within single-digit |gamma| (Elo 1000->3000 is a
+        # spread of ~11.5 total), so 15 cleanly separates the regimes.
         self._warm_gammas = (
-            np.asarray([r.rating for r in result.ratings]) - 1500.0
-        ) / ELO_SCALE if result.stats.converged else None
+            np.asarray(result.gammas)
+            if (
+                result.stats.converged
+                and result.gammas is not None
+                and bool(np.all(np.abs(result.gammas) < 15.0))
+            )
+            else None
+        )
         raw = [r.rating for r in result.ratings]
         first = self.first_checkpoint_idx or 0
         shift = 1000.0 - raw[first]

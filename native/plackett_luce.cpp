@@ -87,7 +87,8 @@ int pl_compute(
     int32_t max_iterations, double convergence_threshold, double epsilon,
     double anchor_elo, double ci_inflation,
     double* out_ratings, double* out_uncertainties,
-    int32_t* out_iterations, double* out_final_delta, int32_t* out_converged) {
+    int32_t* out_iterations, double* out_final_delta, int32_t* out_converged,
+    double* out_gammas /* nullable: final raw (centered) MM gammas */) {
   const int n = num_players;
   const int C = num_comparisons;
   *out_iterations = 0;
@@ -152,6 +153,8 @@ int pl_compute(
   *out_iterations = iters;
   *out_final_delta = delta;
   *out_converged = converged ? 1 : 0;
+  if (out_gammas != nullptr)
+    for (int i = 0; i < n; ++i) out_gammas[i] = gammas[i];
 
   // ---- Fisher information over active (played, non-anchor) players ----
   std::vector<int> active;

@@ -125,3 +125,26 @@ def test_progress_finish_messages():
     p = TrainingProgress(100, stream=buf)
     p.finish_interrupted()
     assert "--resume" in buf.getvalue()
+
+
+def test_progress_println_redraws_bar_on_tty():
+    """println must redraw the live bar beneath the message (indicatif
+    semantics, progress.rs): without the redraw the bar vanishes until
+    the next update and finish() emits a newline for a bar line that no
+    longer exists."""
+
+    class TtyBuf(io.StringIO):
+        def isatty(self):
+            return True
+
+    buf = TtyBuf()
+    p = TrainingProgress(1000, stream=buf)
+    p.update(500, sps=1234.0, avg_return=42.5)
+    p.println("saved checkpoint")
+    out = buf.getvalue()
+    # message printed, then the bar line re-rendered after it
+    assert "saved checkpoint" in out
+    tail = out.split("saved checkpoint")[-1]
+    assert "50.0%" in tail
+    p.finish("done")
+    assert "done" in buf.getvalue()

@@ -67,3 +67,26 @@ def test_hparams_nonjson_values_stringified(tmp_path):
     row = read_rows(tmp_path)[0]
     assert row["data"]["sched"] == [[0.1, 0], [0.0, 100]]
     assert isinstance(row["data"]["obj"], str)
+
+
+def test_hparams_nonfinite_floats_written_as_null(tmp_path):
+    """json.dumps would emit bare NaN/Infinity (invalid JSON); serde_json
+    — the reference's serializer — emits null. A strict consumer must be
+    able to parse every line."""
+    import math
+
+    from burn_ppo_tpu.metrics import MetricsLogger
+
+    log = MetricsLogger(tmp_path)
+    log.log_hparams(
+        {"lr": 1e-3, "target_kl": math.inf, "bad": math.nan,
+         "nested": {"v": -math.inf, "list": [1.0, math.nan]}}
+    )
+    log.close()
+    line = (tmp_path / "metrics.jsonl").read_text().splitlines()[0]
+    data = json.loads(line)["data"]  # must parse as strict JSON
+    assert data["lr"] == 1e-3
+    assert data["target_kl"] is None
+    assert data["bad"] is None
+    assert data["nested"]["v"] is None
+    assert data["nested"]["list"] == [1.0, None]

@@ -144,3 +144,112 @@ def test_popart_head_rescale_formula():
     )
     np.testing.assert_allclose(np.asarray(k2), 2.0 * 2.0 / 4.0)
     np.testing.assert_allclose(np.asarray(b2), (1.0 * 2.0 + 1.0 - 3.0) / 4.0)
+
+
+def test_return_norm_matches_reference_sequential_emulation():
+    """The reference updates its global Welford accumulator one env at a
+    time and normalizes env e with stats through env e (ppo.rs:390-408,
+    normalization.rs:177-201). Emulate that loop in f64 NumPy and check
+    the associative_scan implementation reproduces it across multiple
+    steps, players, dones, and a pool-turn valid mask — including the
+    very first step, where env 0 must pass through unnormalized
+    (count 1 < 2) while env 100 is already normalized."""
+    from burn_ppo_tpu.ppo.normalization import ReturnNormState
+
+    rng = np.random.default_rng(3)
+    E, P, gamma, clip = 256, 3, 0.97, 10.0
+
+    # Reference emulation state (f64 like the Rust normalizer)
+    ret = np.zeros((E, P))
+    mean, var, count = 0.0, 0.0, 0.0
+
+    st = ReturnNormState.create(E, P)
+    for step in range(5):
+        rewards = rng.normal(0.0, 2.0, size=E).astype(np.float32)
+        acting = rng.integers(0, P, size=E).astype(np.int32)
+        dones = rng.random(E) < 0.15
+        valid = rng.random(E) < 0.8
+
+        expected = np.empty(E, np.float32)
+        for e in range(E):
+            p = int(acting[e])
+            ret[e, p] = ret[e, p] * gamma + float(rewards[e])
+            if valid[e]:
+                count += 1.0
+                delta = ret[e, p] - mean
+                mean += delta / count
+                var += delta * (ret[e, p] - mean)
+            if count < 2.0:
+                expected[e] = rewards[e]
+            else:
+                std = np.sqrt(var / count + 1e-8)
+                expected[e] = np.clip(rewards[e] / std, -clip, clip)
+            if dones[e]:
+                ret[e, p] = 0.0
+
+        st, out = return_norm_step(
+            st,
+            jnp.asarray(rewards),
+            jnp.asarray(acting),
+            jnp.asarray(dones),
+            gamma,
+            clip,
+            valid=jnp.asarray(valid),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), expected, rtol=2e-4, atol=2e-4,
+            err_msg=f"step {step}",
+        )
+        np.testing.assert_allclose(np.asarray(st.returns), ret, rtol=1e-4, atol=1e-4)
+        assert float(st.count) == count
+
+
+def test_return_norm_finalize_matches_per_step_sequence():
+    """Hoisting the stats/normalize half out of the rollout scan must be
+    exact: return_norm_finalize over [T, E] == T sequential
+    return_norm_step calls (same visitation order, same prefix stats)."""
+    from burn_ppo_tpu.ppo.normalization import (
+        return_norm_finalize,
+        return_norm_roll,
+    )
+
+    rng = np.random.default_rng(11)
+    T, E, P, gamma, clip = 7, 64, 2, 0.99, 10.0
+    rewards = rng.normal(0, 1.5, size=(T, E)).astype(np.float32)
+    acting = rng.integers(0, P, size=(T, E)).astype(np.int32)
+    dones = rng.random((T, E)) < 0.2
+    valid = rng.random((T, E)) < 0.7
+
+    st_seq = ReturnNormState.create(E, P)
+    outs = []
+    for t in range(T):
+        st_seq, o = return_norm_step(
+            st_seq, jnp.asarray(rewards[t]), jnp.asarray(acting[t]),
+            jnp.asarray(dones[t]), gamma, clip, valid=jnp.asarray(valid[t]),
+        )
+        outs.append(np.asarray(o))
+
+    st = ReturnNormState.create(E, P)
+    returns, samples = st.returns, []
+    for t in range(T):
+        returns, s = return_norm_roll(
+            returns, jnp.asarray(rewards[t]), jnp.asarray(acting[t]),
+            jnp.asarray(dones[t]), gamma,
+        )
+        samples.append(s)
+    st2, normalized = return_norm_finalize(
+        st, jnp.stack(samples), jnp.asarray(rewards), clip,
+        valid=jnp.asarray(valid),
+    )
+    st2 = st2.replace(returns=returns)
+    np.testing.assert_allclose(
+        np.asarray(normalized), np.stack(outs), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.returns), np.asarray(st_seq.returns), rtol=1e-5
+    )
+    assert float(st2.count) == float(st_seq.count)
+    np.testing.assert_allclose(float(st2.mean), float(st_seq.mean), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(st2.m2), float(st_seq.m2), rtol=1e-3, atol=1e-3
+    )

@@ -445,3 +445,48 @@ def test_pool_window_precompile_is_cache_hit(tmp_path):
     # The real k=2 pool windows (pool active from step 256 on) must have
     # hit the warmed entry — any sharding mismatch would add a second.
     assert wf._cache_size() == 1
+
+
+def test_warm_start_draws_only_checkpoint_matches_cold(tmp_path):
+    """A checkpoint whose only games are DRAWS contributes zero
+    comparisons, so the MM 'keep current' branch freezes whatever init
+    it was handed. The warm start must therefore carry the solver's RAW
+    gammas: the old rating-reconstructed warm start handed a zero-game
+    player elo_to_gamma(1000) ~= -2.88 (its reported placeholder),
+    which stuck forever and reported ~500 Elo below the reference's
+    from-zero trajectory."""
+    h = RatingHistory(tmp_path)
+    h.on_checkpoint_saved("step_a", 100)
+    h.on_checkpoint_saved("step_b", 200)
+    h.record_games_batch("step_b", [(["step_a"], [1, 2])] * 10)
+    h.compute()  # warm gammas now cover a+b
+    h.on_checkpoint_saved("step_c", 300)
+    h.compute()  # c rated with games_played == 0 -> placeholder 1000
+    # c's only games are exact draws -> zero comparisons
+    h.record_games_batch("step_c", [(["step_a"], [1, 1])] * 5)
+    h.compute()
+    cold = RatingHistory.load(tmp_path)
+    cold.compute()
+    warm = dict(zip(h.idx_to_checkpoint, h._cached_ratings))
+    coldr = dict(zip(cold.idx_to_checkpoint, cold._cached_ratings))
+    for name in ("step_a", "step_b", "step_c"):
+        assert abs(warm[name] - coldr[name]) < 1e-2, (name, warm, coldr)
+
+
+def test_load_without_metadata_anchors_earliest(tmp_path):
+    """Metadata loss must fall back to anchoring the earliest registered
+    player (rating_history.rs:145-146) — not let the next checkpoint
+    save steal the anchor and rewrite every historical rating."""
+    h = RatingHistory(tmp_path)
+    h.on_checkpoint_saved("step_a", 100)
+    h.on_checkpoint_saved("step_b", 200)
+    h.record_games_batch("step_b", [(["step_a"], [1, 2])] * 10)
+    h.compute()
+    (tmp_path / "rating_metadata.json").unlink()
+    h2 = RatingHistory.load(tmp_path)
+    assert h2.first_checkpoint_idx == 0
+    h2.on_checkpoint_saved("step_c", 300)
+    assert h2.first_checkpoint_idx == 0  # anchor NOT stolen
+    h2.compute()
+    anchored = h2._cached_ratings[0]
+    assert abs(anchored - 1000.0) < 1e-6
