@@ -77,8 +77,10 @@ def fetch_tree(tree: Any) -> Any:
     """device -> host copy of a pytree in ONE device transfer.
 
     Returns a tree of np.ndarrays with identical structure/dtypes/shapes.
-    Key PRNG arrays and other non-fetchable leaves pass through
-    np.asarray individually (they're scalars — negligible)."""
+    Old-style uint32 PRNG key arrays pack like any other leaf; leaves
+    with extended dtypes (new-style typed keys, which bitcast can't
+    take) and host numpy/python leaves pass through np.asarray
+    individually."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if jax.process_count() > 1:
         # Multihost: save() runs on host 0 only; a one-process jit over
@@ -94,7 +96,9 @@ def fetch_tree(tree: Any) -> Any:
     arr_idx = [
         i
         for i, l in enumerate(leaves)
-        if isinstance(l, jax.Array) and int(np.prod(l.shape)) > 0
+        if isinstance(l, jax.Array)
+        and int(np.prod(l.shape)) > 0
+        and not jax.dtypes.issubdtype(l.dtype, jax.dtypes.extended)
     ]
     if not arr_idx:
         return jax.tree_util.tree_unflatten(
@@ -279,7 +283,9 @@ def build_metadata(
         "step": int(step),
         "avg_return": float(avg_return),
         "rng_seed": int(rng_seed),
-        "best_avg_return": best_avg_return,
+        "best_avg_return": (
+            None if best_avg_return is None else float(best_avg_return)
+        ),
         "recent_returns": [float(r) for r in recent_returns],
         "forked_from": forked_from,
         "obs_dim": network.obs_dim,
@@ -300,7 +306,11 @@ def build_metadata(
         "critic_num_hidden": network.critic_num_hidden,
         "obs_shape": list(network.obs_shape) if network.obs_shape else None,
         "env_name": env_name,
-        "exploitability_vs_pool": exploitability_vs_pool,
+        "exploitability_vs_pool": (
+            None
+            if exploitability_vs_pool is None
+            else float(exploitability_vs_pool)
+        ),
     }
 
 
@@ -385,6 +395,7 @@ class CheckpointManager:
                 "aux": {k: v for k, v in aux_state.items() if v is not None},
             }
         )
+        parked = None
         try:
             save_pytree(tmp / "model.npz", host["model"])
             save_pytree(tmp / "optimizer.npz", host["optimizer"])
@@ -402,12 +413,22 @@ class CheckpointManager:
                 if old.exists():
                     shutil.rmtree(old)
                 final.rename(old)
+                parked = old
                 tmp.rename(final)
+                parked = None
                 shutil.rmtree(old, ignore_errors=True)
             else:
                 tmp.rename(final)
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
+            # Rollback: if the old dir was parked but the new one never
+            # landed, restore it — otherwise the step dir is gone and
+            # 'latest' dangles, which resolve() treats as missing.
+            if parked is not None and not final.exists():
+                try:
+                    parked.rename(final)
+                except OSError:
+                    pass
             raise
         self.set_latest(step)
         return final
@@ -431,7 +452,10 @@ class CheckpointManager:
         ckpt_dir = Path(ckpt_dir)
         meta = CheckpointManager.load_metadata(ckpt_dir)
         network = network_from_metadata(meta)
-        template = network.init(jax.random.PRNGKey(0))
+        # Shapes/dtypes only — eval_shape avoids running the real
+        # orthogonal init (device work whose values load_pytree discards;
+        # eval/tournament/pool rotations load dozens of checkpoints).
+        template = jax.eval_shape(network.init, jax.random.PRNGKey(0))
         params = load_pytree(ckpt_dir / "model.npz", template)
         return network, params, meta
 

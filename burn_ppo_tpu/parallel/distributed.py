@@ -101,8 +101,10 @@ def host_local_slice(x: jax.Array, axis: int = 0) -> np.ndarray:
 
     For a ``P("data")``-sharded array this is the host's env block
     (episode logs [T, E, ...] shard on axis 1); replicated arrays come
-    back whole. Used at logging boundaries so episode bookkeeping never
-    pulls remote shards over DCN.
+    back whole. Utility for host-local views without DCN pulls; the
+    production logging path instead reduces on device and fetches one
+    packed buffer (checkpoint.fetch_tree), so this currently has only
+    test callers.
     """
     if jax.process_count() == 1:
         return np.asarray(jax.device_get(x))
@@ -189,7 +191,23 @@ def broadcast_from_primary(values: np.ndarray) -> np.ndarray:
         return np.asarray(values)
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.broadcast_one_to_all(np.asarray(values)))
+    arr = np.asarray(values)
+    if arr.dtype == np.int64 and not jax.config.jax_enable_x64:
+        # broadcast_one_to_all round-trips through jax arrays, which
+        # silently canonicalize int64 -> int32 with x64 off — a seed
+        # >= 2**31 would wrap on a pod but not single-process. Fail
+        # loudly instead of diverging between the two modes.
+        if np.any(arr > np.iinfo(np.int32).max) or np.any(
+            arr < np.iinfo(np.int32).min
+        ):
+            raise ValueError(
+                "broadcast_from_primary: int64 payload exceeds int32 range "
+                "and jax_enable_x64 is off — the multihost transport would "
+                "silently truncate it. Use a value that fits int32."
+            )
+        arr = arr.astype(np.int32)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(arr))
+    return out.astype(values.dtype) if hasattr(values, "dtype") else out
 
 
 def allgather_rows(rows: np.ndarray, width: int) -> np.ndarray:

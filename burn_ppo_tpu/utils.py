@@ -99,7 +99,8 @@ def enable_compilation_cache(spec: str | None = "auto"):
     if spec in (None, "off"):
         return None
     if spec == "auto":
-        spec = os.environ.get("BURN_PPO_COMPILE_CACHE")
+        # Set-but-empty env var (common shell/CI artifact) means unset.
+        spec = os.environ.get("BURN_PPO_COMPILE_CACHE") or None
         if spec is None:
             # Default-on only for a real local TPU backend. XLA:CPU
             # caches AOT machine code whose target features may not

@@ -310,3 +310,81 @@ def test_load_pytree_returns_device_arrays(tmp_path):
         assert isinstance(va, jax.Array), pa
         assert va.dtype == vb.dtype, pa
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+
+
+def test_overwrite_save_failure_restores_old(tmp_path, monkeypatch):
+    """If the overwrite rename fails after the old dir was parked, the
+    previous checkpoint must be restored — otherwise the step dir is
+    gone and 'latest' dangles (unresumable run)."""
+    import pathlib
+
+    net = make_net()
+    params = net.init(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(tmp_path)
+    meta = build_metadata(step=9, env_name="cartpole", network=net, num_players=1)
+    mgr.save(9, params, {}, {}, meta)
+    final_name = mgr.step_dir(9).name
+
+    real_rename = pathlib.Path.rename
+
+    def boom(self, target):
+        if self.name.startswith(".tmp_") and pathlib.Path(target).name == final_name:
+            raise OSError("injected failure")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(pathlib.Path, "rename", boom)
+    with pytest.raises(OSError, match="injected"):
+        mgr.save(9, params, {}, {}, meta)
+    monkeypatch.undo()
+
+    assert mgr.step_dir(9).exists()
+    assert (mgr.step_dir(9) / "model.npz").exists()
+    assert mgr.resolve("latest") is not None
+    assert mgr.resolve("latest").name == final_name
+    # Parked dir cleaned up or at least ignored by step scans.
+    assert mgr.list_steps() == [9]
+
+
+def test_build_metadata_casts_numpy_scalars(tmp_path):
+    """np.float32 best/exploitability fields must not poison json.dumps
+    at save time (NumPy scalars are not JSON serializable)."""
+    net = make_net()
+    meta = build_metadata(
+        step=1, env_name="cartpole", network=net, num_players=1,
+        best_avg_return=np.float32(1.5),
+        exploitability_vs_pool=np.float32(0.25),
+    )
+    s = json.dumps(meta)
+    assert '"best_avg_return": 1.5' in s
+    assert isinstance(meta["best_avg_return"], float)
+    assert isinstance(meta["exploitability_vs_pool"], float)
+
+
+def test_load_model_template_is_abstract(tmp_path, monkeypatch):
+    """load_model must build its restore template with eval_shape (no
+    real device init): loading dozens of pool/tournament checkpoints
+    would otherwise pay full orthogonal-init computation per load."""
+    net = make_net()
+    params = net.init(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(tmp_path)
+    meta = build_metadata(step=4, env_name="cartpole", network=net, num_players=1)
+    path = mgr.save(4, params, {}, {}, meta)
+
+    from burn_ppo_tpu.models import network as network_mod
+
+    real_init = network_mod.ActorCriticNetwork.init
+
+    def counting_init(self, key):
+        # Under eval_shape the key is an abstract tracer; a concrete
+        # jax.Array key means real device init work.
+        assert isinstance(key, jax.core.Tracer), (
+            "load_model ran a concrete network.init"
+        )
+        return real_init(self, key)
+
+    monkeypatch.setattr(network_mod.ActorCriticNetwork, "init", counting_init)
+    _, loaded, _ = CheckpointManager.load_model(path)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -106,3 +106,14 @@ def test_main_preserves_train_valued_options(monkeypatch):
     # Default-subcommand form (no explicit "train" token).
     cli.main(["--run-name", "train", "--env", "cartpole"])
     assert seen["argv"] == ["--run-name", "train", "--env", "cartpole"]
+
+
+def test_compilation_cache_empty_env_var_is_unset(monkeypatch):
+    """BURN_PPO_COMPILE_CACHE='' (set-but-empty shell/CI artifact) must
+    behave like unset — not become an explicit '' cache path."""
+    from burn_ppo_tpu.utils import enable_compilation_cache
+
+    monkeypatch.setenv("BURN_PPO_COMPILE_CACHE", "")
+    # CPU backend in tests: the backend-gated default applies -> None,
+    # and crucially no FileNotFoundError / cwd cache dir from Path('').
+    assert enable_compilation_cache("auto") is None

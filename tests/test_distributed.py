@@ -159,3 +159,26 @@ def test_make_mesh_rejects_overrequest():
 
     with pytest.raises(ValueError, match="requested"):
         make_mesh(len(jax.devices()) + 1)
+
+
+def test_broadcast_from_primary_int64_coercion(monkeypatch):
+    """Multihost transport canonicalizes int64 -> int32 (x64 off). The
+    helper must coerce losslessly and restore the caller's dtype — or
+    raise loudly when the value cannot survive the round trip."""
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    seen = {}
+
+    def fake_broadcast(arr):
+        seen["dtype"] = np.asarray(arr).dtype
+        return np.asarray(arr)
+
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_broadcast)
+
+    out = dist.broadcast_from_primary(np.asarray([12345], np.int64))
+    assert seen["dtype"] == np.int32  # transport-safe payload
+    assert out.dtype == np.int64 and out[0] == 12345
+
+    with pytest.raises(ValueError, match="int32 range"):
+        dist.broadcast_from_primary(np.asarray([2**31 + 7], np.int64))
