@@ -345,6 +345,31 @@ class Config:
             )
         if self.learning_rate.initial_value() <= 0:
             errors.append("learning_rate must be > 0")
+        if self.entropy_coef.initial_value() < 0:
+            errors.append("entropy_coef must be >= 0")
+        if self.reward_shaping_coef.initial_value() < 0:
+            errors.append("reward_shaping_coef must be >= 0")
+        if self.adaptive_entropy is not None:
+            if self.adaptive_entropy_min_coef < 0:
+                errors.append("adaptive_entropy_min_coef must be >= 0")
+            if self.adaptive_entropy_max_coef <= self.adaptive_entropy_min_coef:
+                errors.append(
+                    "adaptive_entropy_max_coef must be > adaptive_entropy_min_coef"
+                )
+            if self.adaptive_entropy_delta <= 0:
+                errors.append("adaptive_entropy_delta must be > 0")
+        from burn_ppo_tpu.envs import registered_envs
+
+        if self.env not in registered_envs():
+            errors.append(
+                f"Unknown environment '{self.env}'. Supported: "
+                + ", ".join(sorted(registered_envs()))
+            )
+        if not 1 <= self.max_active_opponents <= 127:
+            # Rotation slots pack to int8 in the pool record log
+            # (train.py PoolRecordLog); >127 would wrap negative and
+            # silently drop those opponents' stats.
+            errors.append("max_active_opponents must be in [1, 127]")
         if self.max_training_time is not None:
             try:
                 parse_duration(self.max_training_time)

@@ -24,4 +24,15 @@ def make_env(name: str, **kwargs) -> Environment:
     return _REGISTRY[name](**kwargs)
 
 
-__all__ = ["Environment", "EnvSpec", "make_env", "register"]
+def registered_envs():
+    """All registered env names (config validation, reference
+    config.rs:1487-1492)."""
+    from burn_ppo_tpu.envs import cartpole  # noqa: F401
+    from burn_ppo_tpu.envs import connect_four  # noqa: F401
+    from burn_ppo_tpu.envs import liars_dice  # noqa: F401
+    from burn_ppo_tpu.envs import skull  # noqa: F401
+
+    return set(_REGISTRY)
+
+
+__all__ = ["Environment", "EnvSpec", "make_env", "register", "registered_envs"]

@@ -37,7 +37,10 @@ class CartPoleState(struct.PyTreeNode):
     step_idx: jax.Array  # i32
     rewards: jax.Array  # f32[1] reward emitted by the last step
     done: jax.Array  # bool
-    key: jax.Array  # PRNG key for the *next* reset randomization
+    # Unused after reset: autoreset_step always supplies a fresh key from
+    # the rollout's PRNG chain (envs/base.py:263); kept only because the
+    # Environment protocol reconstructs states tree-wise.
+    key: jax.Array
 
 
 class CartPole(Environment):

@@ -132,12 +132,27 @@ class ConnectFour(Environment):
         return state.current
 
     def game_outcome(self, state: ConnectFourState) -> jax.Array:
-        """[1,2] P0 wins / [2,1] P1 wins / [1,1] draw (connect_four.rs:301)."""
+        """[1,2] P0 wins / [2,1] P1 wins / [1,1] draw (connect_four.rs:301).
+
+        A game terminated by an invalid move (done with winner still -1)
+        reports the no-outcome sentinel [0,0]: the reference leaves
+        game_over false there (connect_four.rs:256-259), so the episode
+        is excluded from outcome statistics — it must not be logged as a
+        draw. Stats consumers mask zero outcomes (episode_stats.py,
+        eval.py)."""
         p0_win = jnp.array([1, 2], jnp.int32)
         p1_win = jnp.array([2, 1], jnp.int32)
         draw = jnp.array([1, 1], jnp.int32)
+        none = jnp.array([0, 0], jnp.int32)
+        full = jnp.all(state.board[0, :] != 0)
         return jnp.where(
-            state.winner == 0, p0_win, jnp.where(state.winner == 1, p1_win, draw)
+            state.winner == 0,
+            p0_win,
+            jnp.where(
+                state.winner == 1,
+                p1_win,
+                jnp.where(full, draw, none),
+            ),
         )
 
     def render(self, state) -> str:

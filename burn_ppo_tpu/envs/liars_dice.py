@@ -131,6 +131,12 @@ class LiarsDice(Environment):
 
     # ------------------------------------------------------------------
     def step(self, state: LiarsDiceState, action: jax.Array) -> LiarsDiceState:
+        # Out-of-range actions are INVALID, as in the reference (an
+        # out-of-range decode yields an illegal bid, liars_dice.rs:493-498
+        # -> game over, zero rewards). Clipping before the validity check
+        # would remap e.g. 55 onto CALL (48) and resolve a liar call the
+        # caller never chose.
+        in_range = (action >= 0) & (action < A)
         action = jnp.clip(action, 0, A - 1)
         cur = state.current
         total = jnp.sum(state.dice_count)
@@ -145,7 +151,7 @@ class LiarsDice(Environment):
         )
         bid_valid = (~is_call) & (qty <= total) & (no_bid | bid_higher)
         call_valid = is_call & ~no_bid
-        invalid = state.game_over | ~(bid_valid | call_valid)
+        invalid = state.game_over | ~in_range | ~(bid_valid | call_valid)
 
         # ---- bid branch --------------------------------------------------
         def apply_bid(s: LiarsDiceState) -> LiarsDiceState:
@@ -211,16 +217,24 @@ class LiarsDice(Environment):
             ).astype(jnp.int32)
 
             key, k_dice = jax.random.split(s.key)
+            # Round state resets only when a NEW round starts; the
+            # terminal state keeps the decisive bid and history (the
+            # reference's start_new_round early-returns when <=1 player
+            # is alive, liars_dice.rs:277-289) so render/watch of a
+            # finished game shows the final call, not "No bid yet".
+            zero = jnp.zeros((), jnp.int32)
             return s.replace(
                 dice=jnp.where(game_over, s.dice, _roll_dice(k_dice)),
                 dice_count=dice_count,
                 current=jnp.where(game_over, cur, next_player),
-                bid_qty=jnp.zeros((), jnp.int32),
-                bid_face=jnp.zeros((), jnp.int32),
-                last_bidder=jnp.full((), -1, jnp.int32),
-                bid_count=jnp.zeros((), jnp.int32),
-                hist=jnp.zeros((HIST, 3), jnp.int32),
-                hist_len=jnp.zeros((), jnp.int32),
+                bid_qty=jnp.where(game_over, s.bid_qty, zero),
+                bid_face=jnp.where(game_over, s.bid_face, zero),
+                last_bidder=jnp.where(
+                    game_over, s.last_bidder, jnp.full((), -1, jnp.int32)
+                ),
+                bid_count=jnp.where(game_over, s.bid_count, zero),
+                hist=jnp.where(game_over, s.hist, jnp.zeros((HIST, 3), jnp.int32)),
+                hist_len=jnp.where(game_over, s.hist_len, zero),
                 placements=placements,
                 num_eliminated=num_elim,
                 game_over=game_over,

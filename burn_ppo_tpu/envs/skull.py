@@ -36,6 +36,7 @@ from burn_ppo_tpu.envs import register
 from burn_ppo_tpu.envs.base import (
     Environment,
     EnvSpec,
+    first_true_clockwise,
     onehot_eq as _oh,
     push_ring_row,
     read_at as _read,
@@ -135,8 +136,6 @@ class Skull(Environment):
     def _first_clockwise(self, ok: jax.Array, frm: jax.Array) -> jax.Array:
         """base.first_true_clockwise over the MAXP-padded seat arrays
         (padded seats are never alive, so ok is False there)."""
-        from burn_ppo_tpu.envs.base import first_true_clockwise
-
         return first_true_clockwise(ok, frm, self.n)
 
     def _next_alive(self, s: SkullState, frm: jax.Array) -> jax.Array:
@@ -267,18 +266,21 @@ class Skull(Environment):
 
     # -- step --------------------------------------------------------------
     def step(self, state: SkullState, action: jax.Array) -> SkullState:
-        action = jnp.clip(action, 0, A - 1)
         # Invalid-action contract (same as liars_dice.apply_invalid): an
         # unmasked action terminates the episode with zero rewards. The
         # reference panics here (skull.rs step asserts legality); inside
         # jit the phase arithmetic below would otherwise silently remap
         # e.g. PASS-in-placing to a bid of 24 and diverge the game state
         # with no signal. Masked sampling never produces one, so this is
-        # purely a guard for external callers.
+        # purely a guard for external callers. Validity comes from the
+        # RAW action (one_hot of an out-of-range index is all-zero, so
+        # anything outside [0, A) is invalid); clipping first would remap
+        # garbage onto a different — possibly legal — action.
         action_valid = jnp.sum(
             self.action_mask(state).astype(jnp.float32)
             * jax.nn.one_hot(action, A, dtype=jnp.float32)
         ) > 0
+        action = jnp.clip(action, 0, A - 1)
         n = self.n
         s = state.replace(
             rewards=jnp.zeros((n,), jnp.float32), done=jnp.zeros((), jnp.bool_)

@@ -21,6 +21,7 @@ total (see ``make_acting_logits_fn``).
 from __future__ import annotations
 
 import itertools
+import math
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -188,7 +189,9 @@ class EvalStats:
     def record_game(self, seat_sources: Sequence[int], placements: Sequence[int],
                     seat_rewards: Sequence[float]) -> None:
         self.total_games += 1
-        if all(p == 1 for p in placements):
+        # Single-player episodes have no draw concept (the sole player is
+        # always placed 1st); counting them would report 100% draws.
+        if self.num_players > 1 and all(p == 1 for p in placements):
             self.draws += 1
         record = []
         for seat, source in enumerate(seat_sources):
@@ -310,8 +313,12 @@ class EvalStats:
             print(f"  {name}: {pr.rating:.0f}±{pr.uncertainty:.0f}{marker}")
 
     def print_table(self, parity_ratings: bool = False) -> None:
-        print(f"\nResults over {self.total_games} games "
-              f"(draw rate {self.draws / max(self.total_games, 1):.1%}):")
+        if self.num_players > 1:
+            print(f"\nResults over {self.total_games} games "
+                  f"(draw rate {self.draws / max(self.total_games, 1):.1%}):")
+        else:
+            # Single-player: win/draw columns are meaningless.
+            print(f"\nResults over {self.total_games} episodes:")
         header = f"{'Player':<40} {'Games':>6} {'Win%':>7} {'AvgPlace':>9} {'AvgReward':>10}"
         print(header)
         print("-" * len(header))
@@ -440,17 +447,16 @@ def make_acting_logits_fn(env, sources: List[PlayerSource], num_envs: int):
         homogeneous = False
 
     if homogeneous:
+        # One fused stacking dispatch; params are already device-resident
+        # (load_pytree/put_tree), so per-leaf jnp.stack outside jit would
+        # pay one device dispatch PER LEAF (opponent_pool.py:37-42).
+        from burn_ppo_tpu.selfplay.opponent_pool import _stack_trees
+
         net0 = uniques[0].network
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *[u.params for u in uniques],
-        )
+        stacked = _stack_trees([u.params for u in uniques])
         stacked_norm = None
         if uniques[0].obs_norm is not None:
-            stacked_norm = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                *[u.obs_norm for u in uniques],
-            )
+            stacked_norm = _stack_trees([u.obs_norm for u in uniques])
 
         def grouped(obs_raw, acting_source):
             au = unique_idx[acting_source]  # [E]
@@ -513,11 +519,28 @@ def run_stats_mode(
     )
 
     # Seat maps: if S == P use all P! permutations of sources over seats;
-    # if S == 1, broadcast (self-play). Otherwise cycle sources over seats.
+    # if S == 1, broadcast (self-play). S > P (the reference refuses this
+    # case, eval.rs:893-911; supported here as a generalization) uses ALL
+    # ordered P-arrangements of distinct sources so every source pair
+    # meets in every seat order — a cyclic lineup would pit each pair in
+    # one fixed seat order (first-mover bias) and skip most pairs
+    # entirely for S > P+1. 1 < S < P cycles sources over seats (every
+    # game necessarily repeats sources across seats).
     if S == 1:
         perms = np.zeros((1, P), dtype=np.int32)
     elif S == P:
         perms = generate_permutations(P)
+    elif S > P:
+        n_arr = math.perm(S, P)
+        if n_arr > 1_000_000:
+            raise ValueError(
+                f"stats mode with {S} sources in {P} seats needs "
+                f"{n_arr} seat arrangements for fair coverage; use "
+                "tournament mode for fields this large"
+            )
+        perms = np.array(
+            list(itertools.permutations(range(S), P)), dtype=np.int32
+        )
     else:
         perms = np.array(
             [[(i + r) % S for i in range(P)] for r in range(S)], dtype=np.int32
@@ -588,6 +611,10 @@ def run_stats_mode(
         for t, e in zip(*np.nonzero(completed)):
             if stats.total_games >= num_games:
                 break
+            if np.any(outcomes[t, e] < 1):
+                # No-outcome sentinel (invalid-action termination): the
+                # reference excludes such games from stats entirely.
+                continue
             seat_sources = perms[perm_hist[t, e]]
             stats.record_game(seat_sources, outcomes[t, e], totals[t, e])
         if not quiet:

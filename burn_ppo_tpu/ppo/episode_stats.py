@@ -37,12 +37,17 @@ def summarize_episode_logs(logs, num_players: int) -> Dict[str, jax.Array]:
     len_sum = jnp.sum(logs.length.astype(jnp.float32) * donef)
 
     place = logs.outcome  # [T, E, P] 1-indexed placements
+    # Zero placements are the no-outcome sentinel (invalid-action
+    # termination, e.g. connect_four.game_outcome): the game completed
+    # but has no result — exclude it from points, as the reference does
+    # by leaving game_outcome None.
+    has_outcome = jnp.all(place >= 1, axis=-1).astype(jnp.float32)  # [T, E]
     # tied[j] = #players sharing place j ('1224' competition ranking)
     eq = place[..., :, None] == place[..., None, :]
     tied = jnp.sum(eq.astype(jnp.float32), axis=-1)  # [T, E, P]
     n = jnp.asarray(num_players, jnp.float32)
     pts = n - (place.astype(jnp.float32) + (tied - 1.0) / 2.0)
-    pts_sum = jnp.sum(pts * mask3, axis=(0, 1))  # [P]
+    pts_sum = jnp.sum(pts * mask3 * has_outcome[..., None], axis=(0, 1))  # [P]
 
     draws = jnp.sum(donef * jnp.all(place == 1, axis=-1).astype(jnp.float32))
     return {

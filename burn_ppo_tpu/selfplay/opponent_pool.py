@@ -142,9 +142,26 @@ class OpponentPool:
 
         if self.stats_path.exists():
             data = json.loads(self.stats_path.read_text())
+            dropped = []
             for d in data.get("opponents", []):
                 s = OpponentStats.from_dict(d)
+                # Reconcile against disk: users delete old step_* dirs to
+                # free space; a stale stats entry would let sample_active
+                # pick an unloadable checkpoint and kill training at the
+                # first rotation. Init-time only (all hosts read the same
+                # shared run dir, so multihost replicas stay identical).
+                if not (self.ckpt_dir / s.name).is_dir():
+                    dropped.append(s.name)
+                    continue
                 self.stats[s.name] = s
+            if dropped and persist:
+                print(
+                    f"opponent pool: dropped {len(dropped)} stats entr"
+                    f"{'y' if len(dropped) == 1 else 'ies'} whose "
+                    f"checkpoints are gone from disk: "
+                    + ", ".join(dropped[:5])
+                    + ("..." if len(dropped) > 5 else "")
+                )
         self.scan_checkpoints()
 
     # ------------------------------------------------------------------
@@ -340,6 +357,9 @@ class OpponentPool:
         outside [0, K) are ignored (stale slots after a rotation shrink).
         """
         learner_places = np.asarray(learner_places).reshape(-1)
+        if learner_places.size == 0:
+            # reshape(0, -1) below cannot infer the -1 dimension.
+            return
         opp_slots = np.asarray(opp_slots).reshape(len(learner_places), -1)
         opp_places = np.asarray(opp_places).reshape(len(learner_places), -1)
         lp = learner_places[:, None]
@@ -383,10 +403,13 @@ class OpponentPool:
         exploitability proxy (opponent_pool.rs:921-948)."""
         if not self._recent_vs:
             return None
+        # No identified best, or no recent games against it: None, as in
+        # the reference (opponent_pool.rs:921-934). Averaging over the
+        # whole pool instead would compute the proxy mostly against weak
+        # historical opponents and overstate it.
         candidates = self._recent_vs.get(best_name) if best_name else None
         if not candidates:
-            allv = [v for vs in self._recent_vs.values() for v in vs]
-            return float(np.mean(allv)) if allv else None
+            return None
         return float(np.mean(candidates))
 
     # ------------------------------------------------------------------

@@ -650,8 +650,11 @@ class Trainer:
         from burn_ppo_tpu.ppo.update import resolve_shuffle_block
 
         _n = cfg.num_steps * self.num_envs
+        # Same ceil-and-pad mb_size as ppo_update (update.py) — floor
+        # division would report the wrong tile size (or stay silent)
+        # for uneven N % num_minibatches.
         _block = resolve_shuffle_block(
-            _n, max(_n // cfg.num_minibatches, 1), cfg.shuffle_block_rows
+            _n, -(-_n // cfg.num_minibatches), cfg.shuffle_block_rows
         )
         if _block > 1 and not self.quiet:
             print(
@@ -836,9 +839,31 @@ class Trainer:
         params = load_pytree(ckpt_dir / "model.npz", params)
         opt_state = load_pytree(ckpt_dir / "optimizer.npz", opt_state)
         if obs_norm is not None:
-            obs_norm = CheckpointManager.load_component(ckpt_dir, "obs_norm", obs_norm)
+            loaded = CheckpointManager.load_component(
+                ckpt_dir, "obs_norm", obs_norm
+            )
+            if loaded is None:
+                # Source checkpoint trained without obs normalization
+                # (fork + override can enable it): keep the fresh state
+                # rather than silently disabling a feature the config
+                # asked for.
+                if self.is_primary and not self.quiet:
+                    print(
+                        f"warning: {ckpt_dir} has no obs_norm.npz; "
+                        "normalize_obs starts from fresh statistics"
+                    )
+            else:
+                obs_norm = loaded
         if popart is not None:
-            popart = CheckpointManager.load_component(ckpt_dir, "popart", popart)
+            loaded = CheckpointManager.load_component(ckpt_dir, "popart", popart)
+            if loaded is None:
+                if self.is_primary and not self.quiet:
+                    print(
+                        f"warning: {ckpt_dir} has no popart.npz; "
+                        "normalize_values starts from fresh statistics"
+                    )
+            else:
+                popart = loaded
         ret_norm = CheckpointManager.load_component(
             ckpt_dir, "return_norm", carry.return_norm
         )
@@ -848,7 +873,11 @@ class Trainer:
         )
         if ret_norm is not None:
             carry = carry.replace(return_norm=ret_norm)
-        update_key = carry.key
+        # rng_state.npz absent (older/external checkpoint): derive a
+        # DISTINCT epoch-shuffle stream. Aliasing update_key = carry.key
+        # would make the shuffle permutation key equal the rollout's
+        # action-sampling key (threefry children of the same parent).
+        update_key = jax.random.fold_in(carry.key, 0x5EED)
         if rng is not None:
             carry = carry.replace(key=rng["carry_key"])
             update_key = rng["update_key"]
@@ -1010,6 +1039,39 @@ class Trainer:
                 max(1, int(remaining_seconds / per_update_seconds)),
             )
         return largest_pow2_le(max(min(max_updates, 64), 1))
+
+    def _choose_window_k(
+        self,
+        next_log: int,
+        next_ckpt: int,
+        max_seconds: Optional[float],
+        start_time: float,
+        cap: Optional[int] = None,
+    ) -> int:
+        """Pick this iteration's fused-window size and broadcast it.
+
+        Shared by the pool and non-pool window paths so boundary/schedule
+        logic can't drift between them. k derives from host-local timing
+        state (wall clocks differ across hosts), so multihost runs must
+        broadcast it — every host has to enqueue the same K-step program
+        or the pod's collectives desynchronize and hang."""
+        remaining = None
+        if max_seconds is not None:
+            remaining = max_seconds - (
+                time.time() - start_time + self.elapsed_time_offset
+            )
+        k = self._window_size(
+            next_log, next_ckpt, remaining, self._per_update_time
+        )
+        if cap is not None:
+            k = min(k, cap)
+        if self.multihost:
+            from burn_ppo_tpu.parallel.distributed import (
+                broadcast_from_primary,
+            )
+
+            k = int(broadcast_from_primary(np.asarray([k], np.int32))[0])
+        return k
 
     # ------------------------------------------------------------------
     def _replicate_identity(self):
@@ -1370,33 +1432,19 @@ class Trainer:
                     # checkpoint / total / time budget) still cap the
                     # window like the non-pool path.
                     if self.use_windows:
-                        remaining = None
-                        if max_seconds is not None:
-                            remaining = max_seconds - (
-                                time.time() - start_time + self.elapsed_time_offset
-                            )
                         # Quantize the rotation-interval cap to the same
                         # power-of-2 family as _window_size and the
                         # background precompile (see largest_pow2_le).
-                        cap = largest_pow2_le(
-                            max(cfg.pool_rotation_interval, 1)
-                        )
-                        k = min(
-                            self._window_size(
-                                next_log, next_ckpt, remaining,
-                                self._per_update_time,
+                        k = self._choose_window_k(
+                            next_log, next_ckpt, max_seconds, start_time,
+                            cap=largest_pow2_le(
+                                max(cfg.pool_rotation_interval, 1)
                             ),
-                            cap,
                         )
                     else:
-                        k = 1
-                    if self.multihost:
-                        from burn_ppo_tpu.parallel.distributed import (
-                            broadcast_from_primary,
-                        )
-
-                        k = int(
-                            broadcast_from_primary(np.asarray([k], np.int32))[0]
+                        k = self._choose_window_k(
+                            next_log, next_ckpt, max_seconds, start_time,
+                            cap=1,
                         )
                     lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
                     window_fn = self._get_pool_window(pad_slots, k)
@@ -1466,24 +1514,9 @@ class Trainer:
                     metrics = self._phase_timed_step(lr, ent_coef, shaping)
                     updates_done = 1
                 elif self.use_windows:
-                    remaining = None
-                    if max_seconds is not None:
-                        remaining = max_seconds - (
-                            time.time() - start_time + self.elapsed_time_offset
-                        )
-                    k = self._window_size(
-                        next_log, next_ckpt, remaining, self._per_update_time
+                    k = self._choose_window_k(
+                        next_log, next_ckpt, max_seconds, start_time
                     )
-                    if self.multihost:
-                        # k derives from host-local timing state; all
-                        # hosts must enqueue the same K-step program.
-                        from burn_ppo_tpu.parallel.distributed import (
-                            broadcast_from_primary,
-                        )
-
-                        k = int(
-                            broadcast_from_primary(np.asarray([k], np.int32))[0]
-                        )
                     lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
                     self.state, metrics, stats = self._get_window(k)(
                         self.state, lrs, ecs, scs
@@ -1575,6 +1608,13 @@ class Trainer:
                 if handler is None:
                     # Previous handler installed outside Python (C ext);
                     # signal.signal(sig, None) would raise TypeError.
+                    # The trainer's flag-setting handler stays installed
+                    # (its closure is now inert) — warn the embedder.
+                    if not self.quiet:
+                        print(
+                            f"warning: signal {sig} had a non-Python "
+                            "handler before training; it was not restored"
+                        )
                     continue
                 try:
                     signal.signal(sig, handler)

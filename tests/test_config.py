@@ -266,6 +266,17 @@ def test_normalize_returns_explicit_override():
         # Non-power-of-two would silently run at the next power of two
         # below it (train.py window-cap quantization) — reject instead.
         {"pool_rotation_interval": 6},
+        # Reference Config::validate parity (config.rs:1483-1535).
+        {"entropy_coef": -0.01},
+        {"reward_shaping_coef": -0.1},
+        {"adaptive_entropy": 1.0, "adaptive_entropy_min_coef": -0.001},
+        {"adaptive_entropy": 1.0, "adaptive_entropy_max_coef": 0.0005,
+         "adaptive_entropy_min_coef": 0.001},
+        {"adaptive_entropy": 1.0, "adaptive_entropy_delta": 0.0},
+        {"env": "chess"},
+        # Rotation slots pack to int8 in the pool record log.
+        {"max_active_opponents": 128},
+        {"max_active_opponents": 0},
     ],
 )
 def test_validate_rejects(kw):

@@ -152,3 +152,26 @@ def test_describe_parse(env):
     for c in range(COLS):
         a = env.parse_action(str(c + 1)) if hasattr(env, "parse_action") else c
         assert 0 <= a < COLS
+
+
+def test_invalid_move_outcome_is_no_outcome_sentinel(env):
+    """A game terminated by an invalid move must NOT report a draw: the
+    reference leaves game_over false there (connect_four.rs:256-259), so
+    it is excluded from outcome stats. The sentinel is [0, 0]."""
+    s = play(env, fresh(env), [3, 3, 3, 3, 3, 3])
+    s2 = env.step(s, jnp.asarray(3))  # full column -> invalid, done
+    assert bool(s2.done)
+    np.testing.assert_array_equal(np.asarray(env.game_outcome(s2)), [0, 0])
+    # A genuine draw still reports [1, 1]: fill the board without a win.
+    draw_cols = [0,1, 1,0, 2,3, 3,2, 4,5, 5,4, 6,0, 0,6, 1,2, 2,1,
+                 3,4, 4,3, 5,6, 6,5, 0,1, 1,0, 2,3, 3,2, 4,5, 5,4, 6,6]
+    sd = fresh(env)
+    for c in draw_cols:
+        if bool(sd.done):
+            break
+        mask = np.asarray(env.action_mask(sd))
+        if not mask[c]:
+            c = int(np.nonzero(mask)[0][0])
+        sd = env.step(sd, jnp.asarray(c))
+    if bool(sd.done) and int(sd.winner) == 2:
+        np.testing.assert_array_equal(np.asarray(env.game_outcome(sd)), [1, 1])

@@ -122,3 +122,21 @@ def test_tracker_resume_seed_display_only():
     tr.ingest(stats(10, 5.0))
     assert tr.avg_return == 5.0  # real data replaces the seed
     assert tr.mean_length == 10.0
+
+
+def test_summarize_excludes_no_outcome_games_from_points():
+    """Zero placements are the no-outcome sentinel (invalid-action
+    termination, connect_four.game_outcome): such games must contribute
+    nothing to points or draws."""
+    totals = np.zeros((1, 2, 2), np.float32)
+    log = make_log(
+        [[True, True]], totals,
+        [[7, 7]],
+        # env 0: real P0 win; env 1: no-outcome sentinel
+        np.asarray([[[1, 2], [0, 0]]]),
+    )
+    s = summarize_episode_logs(log, 2)
+    assert float(s["count"]) == 2.0
+    # Only the real game contributes points: P0 gets 1, P1 gets 0.
+    np.testing.assert_allclose(np.asarray(s["pts_sum"]), [1.0, 0.0])
+    assert float(s["draws"]) == 0.0

@@ -209,3 +209,44 @@ def test_watch_mode_rotates_seats_between_games(capsys):
     out = capsys.readouterr().out
     assert "Seats: P0=A, P1=B" in out
     assert "Seats: P0=B, P1=A" in out
+
+
+def test_eval_stats_single_player_no_draws():
+    """P=1 episodes have no draw concept — the sole player is always
+    'placed 1st'; counting them would report a 100% draw rate."""
+    stats = EvalStats(["solo"], 1)
+    stats.record_game([0], [1], [100.0])
+    stats.record_game([0], [1], [200.0])
+    assert stats.total_games == 2
+    assert stats.draws == 0
+
+
+def test_stats_mode_lineup_covers_all_ordered_pairs():
+    """S > P must use ALL ordered arrangements so every source pair meets
+    in every seat order (a cyclic lineup never pits pair (0,2) for S=4,
+    P=2 and always gives the lower index the first move). Exercised
+    end-to-end with 4 Random sources on Connect Four: with 12
+    arrangements staggered over the envs and enough games, every source
+    plays both seats against every other."""
+    from burn_ppo_tpu.envs import make_env
+    from burn_ppo_tpu.eval import PlayerSource, run_stats_mode
+
+    env = make_env("connect_four")
+    sources = [PlayerSource.random() for _ in range(4)]
+    for i, s in enumerate(sources):
+        object.__setattr__(s, "name", f"R{i}")
+    stats = run_stats_mode(
+        env, sources, num_games=48, num_envs=12, seed=0, quiet=True
+    )
+    assert stats.total_games >= 48
+    # Every source saw games in both seats (placements recorded for all).
+    for s in range(4):
+        assert stats.games[s] > 0
+    # Ordered-pair coverage across the recorded games.
+    seen = set()
+    for rec in stats.game_records:
+        srcs = [src for src, _ in rec]
+        seen.add(tuple(srcs))
+    assert seen == {
+        (a, b) for a in range(4) for b in range(4) if a != b
+    }

@@ -243,3 +243,38 @@ def test_describe_parse_roundtrip(env):
     assert env.parse_action("8 6") == int(BIDA(8, 6))
     with pytest.raises(ValueError):
         env.parse_action("9 7s")
+
+
+def test_out_of_range_action_is_invalid_not_call(env):
+    """Out-of-range actions are invalid bids ending the episode
+    (liars_dice.rs:493-498) — clipping before the validity check would
+    remap them onto CALL and resolve a liar call the caller never chose."""
+    s = fresh(env)
+    s = env.step(s, BIDA(2, 3))  # active bid so CALL would be legal
+    alive_before = np.asarray(s.dice_count).copy()
+    for bad in (A, A + 6, -1):
+        s2 = env.step(s, jnp.asarray(bad))
+        assert bool(s2.done) and bool(s2.game_over), bad
+        np.testing.assert_array_equal(np.asarray(s2.rewards), 0.0)
+        # No call was resolved: nobody lost a die.
+        np.testing.assert_array_equal(np.asarray(s2.dice_count), alive_before)
+
+
+def test_terminal_state_keeps_final_bid_and_history(env):
+    """The terminal state preserves the decisive bid/history (the
+    reference's start_new_round early-returns when <=1 player is alive,
+    liars_dice.rs:277-289); render of a finished game must show the final
+    call, not 'No bid yet'."""
+    import jax as _jax
+
+    s = fresh(env)
+    # Drive players down to the endgame by repeated wrong calls.
+    for _ in range(200):
+        if bool(s.game_over):
+            break
+        if int(s.bid_qty) == 0:
+            s = env.step(s, BIDA(1, 2))
+        else:
+            s = env.step(s, jnp.asarray(CALL, jnp.int32))
+    assert bool(s.game_over)
+    assert int(s.bid_qty) > 0 or int(s.bid_count) > 0 or int(s.hist_len) > 0

@@ -90,12 +90,32 @@ def test_sample_without_replacement(tmp_path):
 
 def test_stats_persistence_roundtrip(tmp_path):
     pool = make_pool(tmp_path)
+    (tmp_path / "checkpoints" / "x").mkdir(parents=True)
     pool.add_checkpoint("x", 5)
     pool.stats["x"].win_rate = 0.7
     pool.save_stats()
     pool2 = make_pool(tmp_path)
     assert pool2.stats["x"].win_rate == pytest.approx(0.7)
     assert pool2.stats["x"].step == 5
+
+
+def test_stats_load_drops_deleted_checkpoints(tmp_path):
+    """Stats entries whose checkpoint dirs were deleted from disk must
+    not survive a reload — sampling one would crash the first rotation
+    with FileNotFoundError."""
+    pool = make_pool(tmp_path)
+    (tmp_path / "checkpoints" / "step_00000001").mkdir(parents=True)
+    (tmp_path / "checkpoints" / "step_00000002").mkdir(parents=True)
+    pool.add_checkpoint("step_00000001", 1)
+    pool.add_checkpoint("step_00000002", 2)
+    pool.save_stats()
+    import shutil
+
+    shutil.rmtree(tmp_path / "checkpoints" / "step_00000001")
+    pool2 = make_pool(tmp_path)
+    assert "step_00000001" not in pool2.stats
+    assert "step_00000002" in pool2.stats
+    assert all(n in pool2.stats for n in pool2.sample_active())
 
 
 def test_rating_history_roundtrip(tmp_path):

@@ -165,8 +165,11 @@ def test_pool_performance_vs_best(tmp_path):
     pool.apply_pending_updates()
     assert pool.get_pool_performance(names[0]) == pytest.approx(1.0)
     assert pool.get_pool_performance(names[1]) == pytest.approx(0.0)
-    # unknown best -> average over everything
-    assert pool.get_pool_performance(None) == pytest.approx(0.5)
+    # No identified best -> None (reference opponent_pool.rs:921-934),
+    # never an average over the whole pool.
+    assert pool.get_pool_performance(None) is None
+    # Best known but no recent games against it -> None too.
+    assert pool.get_pool_performance("step_99999999") is None
 
 
 def test_pool_performance_none_without_games(tmp_path):
@@ -190,6 +193,8 @@ def test_stats_reload_roundtrip(tmp_path):
     pool = make_pool(tmp_path)
     add(pool, 1)
     name = next(iter(pool.stats))
+    # Reload reconciles against disk; keep the entry's dir present.
+    (tmp_path / "checkpoints" / name).mkdir(parents=True)
     pool.stats[name].win_rate = 0.77
     pool.stats[name].games_played = 42
     pool.save_stats()

@@ -455,3 +455,17 @@ def test_invalid_action_terminates_like_liars_dice(env):
     s2 = env.step(s, jnp.asarray(PASS))
     assert bool(s2.done) and bool(s2.game_over)
     assert float(np.abs(np.asarray(s2.rewards)).sum()) == 0.0
+
+
+def test_out_of_range_action_terminates_not_remapped(env):
+    """Validity must come from the RAW action: clipping first would remap
+    e.g. action=A (out of range) onto the last legal action id and
+    silently play it (reference panics on action >= ACTION_COUNT,
+    skull.rs:1116)."""
+    from burn_ppo_tpu.envs.skull import A
+
+    s = fresh(env)
+    for bad in (A, A + 7, -1):
+        s2 = env.step(s, jnp.asarray(bad))
+        assert bool(s2.done) and bool(s2.game_over), bad
+        assert float(np.abs(np.asarray(s2.rewards)).sum()) == 0.0

@@ -124,3 +124,44 @@ def test_target_kl_and_clip_value(tmp_path):
     trainer = Trainer(cfg, tmp_path / "run", quiet=True)
     summary = trainer.train()
     assert summary["final_step"] >= 64
+
+
+def test_fork_enabling_normalization_keeps_fresh_state(tmp_path, capsys):
+    """Forking from a parent trained WITHOUT normalize_obs while enabling
+    it must keep the fresh normalizer (and warn) — not silently disable
+    the feature because the parent checkpoint has no obs_norm.npz."""
+    cfg = tiny_config()  # normalize_obs off
+    t1 = Trainer(cfg, tmp_path / "run", quiet=True)
+    t1.train()
+    latest = (tmp_path / "run" / "checkpoints" / "latest").resolve()
+
+    cfg2 = tiny_config(normalize_obs=True, total_steps=128)
+    t2 = Trainer(cfg2, tmp_path / "run2", resume_from=latest)
+    captured = capsys.readouterr()
+    assert "obs_norm" in captured.out
+    assert t2.state.obs_norm is not None
+    t2.train()
+    assert t2.state.obs_norm is not None
+    # The new run's checkpoints are internally consistent: metadata says
+    # normalize_obs AND the component file exists.
+    latest2 = (tmp_path / "run2" / "checkpoints" / "latest").resolve()
+    meta = json.loads((latest2 / "metadata.json").read_text())
+    assert meta["normalize_obs"] is True
+    assert (latest2 / "obs_norm.npz").exists()
+
+
+def test_restore_without_rng_state_uses_distinct_update_stream(tmp_path):
+    """A checkpoint missing rng_state.npz must not alias the PPO
+    epoch-shuffle stream to the rollout sampling stream."""
+    import jax
+
+    cfg = tiny_config()
+    t1 = Trainer(cfg, tmp_path / "run", quiet=True)
+    t1.train()
+    latest = (tmp_path / "run" / "checkpoints" / "latest").resolve()
+    (latest / "rng_state.npz").unlink()
+
+    t2 = Trainer(cfg, tmp_path / "run2", resume_from=latest, quiet=True)
+    assert not np.array_equal(
+        np.asarray(t2.state.update_key), np.asarray(t2.state.carry.key)
+    )
