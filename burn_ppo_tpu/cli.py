@@ -182,6 +182,9 @@ def _add_interactive_parser(sub):
     p.add_argument("sources", nargs="+", help="Checkpoint paths or run directories")
     p.add_argument("--limit-per-run", type=int, default=1)
     p.add_argument("-p", "--port", type=int, default=3000)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="Bind address (loopback by default; the API has "
+                        "no auth, so widen deliberately)")
     return p
 
 

@@ -56,6 +56,11 @@ class Session:
         self.action_history: List[Dict] = []
         self.last_active = time.time()
         self.key = jax.random.PRNGKey(secrets.randbits(32))
+        # Serializes handler threads touching this session's mutable game
+        # state (ThreadingHTTPServer: two tabs sharing a sid would race
+        # _apply/undo and lose moves; the reference wraps sessions in a
+        # mutex). app.lock guards only the sessions dict.
+        self.lock = threading.Lock()
 
     def next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -400,18 +405,29 @@ def make_handler(app: InteractiveApp):
                 self.wfile.write(body)
                 return
             _, sess = app.session(sid)
-            if self.path == "/api/networks":
-                self._json({"networks": [n["name"] for n in app.networks]})
-            elif self.path == "/api/game_state":
-                self._json(app.game_state_json(sess))
-            elif self.path == "/api/history":
-                self._json({"history": sess.action_history})
-            else:
-                self._json({"error": "not found"}, 404)
+            with sess.lock:
+                if self.path == "/api/networks":
+                    self._json({"networks": [n["name"] for n in app.networks]})
+                elif self.path == "/api/game_state":
+                    self._json(app.game_state_json(sess))
+                elif self.path == "/api/history":
+                    self._json({"history": sess.action_history})
+                else:
+                    self._json({"error": "not found"}, 404)
 
         def do_POST(self):
             sid = self.headers.get("x-session-id")
             _, sess = app.session(sid)
+            try:
+                with sess.lock:
+                    self._dispatch_post(sess)
+            except (TypeError, ValueError) as e:
+                # Malformed JSON field types (int(None), int("abc"), ...)
+                # answer 400 instead of killing the connection with a
+                # traceback.
+                self._json({"error": f"bad request: {e}"}, 400)
+
+        def _dispatch_post(self, sess):
             body = self._body()
             path = self.path
             if path == "/api/select_network":
@@ -486,15 +502,29 @@ def make_handler(app: InteractiveApp):
                         )
                         self._json(result)
             elif path == "/api/set_ai_seat":
-                sess.ai_seat = int(body.get("seat", 0))
-                self._json({"ok": True})
+                seat = int(body.get("seat", 0))
+                n_seats = sess.env.n if sess.env is not None else 6
+                if not 0 <= seat < n_seats:
+                    # Out-of-range seat would hide every hand (show
+                    # requires p == ai_seat) and advise a ghost player.
+                    self._json(
+                        {"error": f"seat must be in [0, {n_seats - 1}]"}, 400
+                    )
+                else:
+                    sess.ai_seat = seat
+                    self._json({"ok": True})
             elif path == "/api/set_hide_info":
                 sess.hide_private_info = bool(body.get("hide", False))
                 self._json({"ok": True})
             elif path == "/api/undo":
-                if sess.history:
-                    sess.state = sess.history.pop()
+                if sess.pending_discard is not None:
+                    # A pending reveal never pushed to the undo stack —
+                    # undo just cancels the discard prompt. Popping here
+                    # would erase the PREVIOUS applied move.
                     sess.pending_discard = None
+                    self._json({"ok": True, "message": "discard cancelled"})
+                elif sess.history:
+                    sess.state = sess.history.pop()
                     if sess.action_history:
                         sess.action_history.pop()
                     self._json({"ok": True})
@@ -511,10 +541,14 @@ def make_handler(app: InteractiveApp):
 
 def run_interactive_cli(args) -> int:
     app = InteractiveApp(args.sources, limit_per_run=args.limit_per_run)
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(app))
+    # Loopback by default, like the reference (interactive.rs:1360): the
+    # API has no authentication, so a wide bind must be an explicit
+    # --host opt-in.
+    host = getattr(args, "host", "127.0.0.1")
+    server = ThreadingHTTPServer((host, args.port), make_handler(app))
     print(
-        f"Skull assistant: http://localhost:{args.port} "
-        f"({len(app.networks)} network(s) loaded)"
+        f"Skull assistant: http://{'localhost' if host == '127.0.0.1' else host}"
+        f":{args.port} ({len(app.networks)} network(s) loaded)"
     )
     try:
         server.serve_forever()

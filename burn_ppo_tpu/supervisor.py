@@ -32,6 +32,11 @@ _RESUME_SAFE_FLAGS = {
     "--quiet": 0,
     "--multihost": 0,
     "--profile-phases": 0,
+    # Runtime flags that are NOT baked into config.toml — dropping them
+    # would silently change child behavior mid-run (checkify NaN checks
+    # off, compile cache back to 'auto').
+    "--checkify": 0,
+    "--compilation-cache": 1,
     "--platform": 1,
     "--runs-base": 1,
     "--total-steps": 1,
@@ -130,10 +135,14 @@ class TrainingSupervisor:
         d = self.run_dir / "checkpoints"
         if not d.exists():
             return 0
+        # Digit check matters: a parked step_N.old overwrite backup
+        # (checkpoint.py save) must not count as checkpoint progress —
+        # it would make no-op children look productive (or mask a real
+        # new checkpoint) and break the completion detection below.
         return sum(
             1
             for p in d.iterdir()
-            if p.is_dir() and p.name.startswith("step_")
+            if p.is_dir() and p.name.startswith("step_") and p.name[5:].isdigit()
         )
 
     def _run_loop(self, start, first, terminated) -> int:

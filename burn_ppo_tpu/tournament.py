@@ -85,11 +85,11 @@ def get_best_checkpoint(ckpt_dir: Path) -> Optional[Path]:
         return None
     meta = CheckpointManager.load_metadata(checkpoints[0])
     if meta.get("num_players", 1) > 1:
-        return checkpoints[-1]  # latest (avg_return meaningless)
+        return checkpoints[-1].resolve()  # latest (avg_return meaningless)
     return max(
         checkpoints,
         key=lambda p: CheckpointManager.load_metadata(p).get("avg_return", 0.0),
-    )
+    ).resolve()
 
 
 def select_checkpoints_with_priority(
@@ -98,6 +98,11 @@ def select_checkpoints_with_priority(
     """best > latest > evenly spaced (tournament.rs:383-430)."""
     if limit == 0 or not checkpoints:
         return []
+    # Compare RESOLVED paths throughout: get_best_checkpoint resolves the
+    # best symlink, while enumerate_checkpoints yields caller-relative
+    # paths — mixing the two would select best==latest twice, and the
+    # later contestant dedup would silently shrink the field below limit.
+    checkpoints = [c.resolve() for c in checkpoints]
     best = get_best_checkpoint(ckpt_dir)
     latest = checkpoints[-1]
     if limit == 1:
@@ -323,20 +328,34 @@ def form_dutch_pods_with_floaters(
     return pods, ranked[num_pods * pod_size:]
 
 
-def swiss_pods(contestants: Sequence[Contestant], pod_size: int) -> List[List[int]]:
-    if len(contestants) < pod_size:
+def swiss_pods(
+    contestants: Sequence[Contestant],
+    pod_size: int,
+    indices: Optional[Sequence[int]] = None,
+) -> List[List[int]]:
+    """Swiss pairing over ``indices`` (default: all contestants).
+
+    Returned pods hold indices INTO ``contestants`` — the same space
+    ``opponents_faced`` records — so repeat-opponent avoidance works when
+    pairing a bye-reduced subset. (The reference clones the subset and
+    pairs with subset-local indices, tournament.rs:2123-2136, so its
+    repeat check at :756 compares local against global indices and the
+    swap machinery operates on garbage whenever byes exist; deliberate
+    divergence.)"""
+    idxs = list(range(len(contestants))) if indices is None else list(indices)
+    if len(idxs) < pod_size:
         return []
-    is_round_1 = all(c.swiss_points == 0.0 for c in contestants)
+    is_round_1 = all(contestants[i].swiss_points == 0.0 for i in idxs)
     if is_round_1:
         ranked = sorted(
-            range(len(contestants)),
+            idxs,
             key=lambda i: -contestants[i].initial_seed,
         )
         pods, _ = form_dutch_pods_with_floaters(ranked, pod_size, contestants)
         return pods
 
     ranked = sorted(
-        range(len(contestants)),
+        idxs,
         key=lambda i: (-contestants[i].swiss_points, -contestants[i].initial_seed),
     )
     # Score brackets
@@ -450,6 +469,18 @@ def run_tournament(
     # Environment from first checkpoint metadata (tournament.rs:1946-1956)
     first = next(c for c in contestants if c.path is not None)
     meta = CheckpointManager.load_metadata(first.path)
+    # Reject mixed-environment fields up front: a skull checkpoint in a
+    # connect-four tournament would otherwise die mid-run on an opaque
+    # XLA shape mismatch (or rate garbage if dims coincide).
+    for c in contestants:
+        if c.path is None:
+            continue
+        c_env = CheckpointManager.load_metadata(c.path).get("env_name")
+        if c_env != meta["env_name"]:
+            raise ValueError(
+                f"mixed environments in tournament field: {first.path} is "
+                f"{meta['env_name']} but {c.path} is {c_env}"
+            )
     env = make_env(meta["env_name"])
     if env.spec.variable_player_count:
         if players is None:
@@ -547,11 +578,13 @@ def run_tournament(
                     if not quiet:
                         print(f"  {contestants[bye_idx].name} receives bye "
                               f"(+{pod_size - 1:.1f} points)")
+            # When every active contestant already had a bye, fewer byes
+            # than n % pod_size are awarded and the unpaired leftovers
+            # sit the round out unscored — reference parity
+            # (tournament.rs:2093-2119 take()s only never-bye'd
+            # candidates; its swiss_pods drops terminal floaters).
             active = [i for i in range(n) if i not in bye_recipients]
-            temp_pods = swiss_pods(
-                [contestants[i] for i in active], pod_size
-            )
-            pods = [[active[j] for j in pod] for pod in temp_pods]
+            pods = swiss_pods(contestants, pod_size, indices=active)
             if not pods and not bye_recipients:
                 if not quiet:
                     print("  No pods possible")

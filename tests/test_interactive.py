@@ -25,6 +25,7 @@ def server(tmp_path_factory):
     from burn_ppo_tpu.interactive import InteractiveApp, make_handler
 
     app = InteractiveApp([d / "run"], limit_per_run=1)
+    globals()["_app"] = app  # direct session access for undo-semantics tests
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(app))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -152,3 +153,63 @@ def test_new_game_player_counts(server):
         r = call(server, "/api/new_game", {"num_players": n, "ai_seat": 0},
                  sid=f"pc{n}")
         assert len(r["state"]["players"]) == n
+
+
+def call_status(base, path, body=None, sid="testsession"):
+    """Like call() but returns (status_code, json) without raising."""
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        base + path,
+        data=data,
+        headers={"x-session-id": sid, "content-type": "application/json"},
+        method="POST" if body is not None else "GET",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_set_ai_seat_validates_range_and_types(server):
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 0})
+    code, r = call_status(server, "/api/set_ai_seat", {"seat": 99})
+    assert code == 400 and "seat" in r["error"]
+    code, r = call_status(server, "/api/set_ai_seat", {"seat": "abc"})
+    assert code == 400
+    code, r = call_status(server, "/api/set_ai_seat", {"seat": None})
+    assert code == 400
+    code, r = call_status(server, "/api/set_ai_seat", {"seat": 2})
+    assert code == 200 and r["ok"]
+
+
+def test_malformed_post_fields_return_400(server):
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 0})
+    code, _ = call_status(server, "/api/execute_action", {"action": "boom"})
+    assert code == 400
+    code, _ = call_status(server, "/api/select_network", {"index": None})
+    assert code == 400
+
+
+def test_undo_with_pending_discard_cancels_only(server):
+    """Undo during a pending skull-reveal discard must cancel the prompt
+    without popping the previous applied move (the pending reveal never
+    pushed to the undo stack)."""
+    sid = "undotest"
+    call(server, "/api/new_game", {"num_players": 3, "ai_seat": 0}, sid=sid)
+    state = call(server, "/api/game_state", sid=sid)
+    action = state["valid_actions"][0]["id"]
+    call(server, "/api/execute_action", {"action": action}, sid=sid)
+    app = globals()["_app"]
+    sess = app.sessions[sid]
+    depth = len(sess.history)
+    assert depth >= 1
+    sess.pending_discard = {"action": 0, "bidder": 0}
+    r = call(server, "/api/undo", {}, sid=sid)
+    assert r["ok"]
+    assert app.sessions[sid].pending_discard is None
+    assert len(app.sessions[sid].history) == depth  # nothing popped
+    # A second undo now pops the real move.
+    r = call(server, "/api/undo", {}, sid=sid)
+    assert r["ok"]
+    assert len(app.sessions[sid].history) == depth - 1

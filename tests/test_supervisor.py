@@ -176,3 +176,25 @@ def test_failed_child_aborts(tmp_path, monkeypatch):
     )
     assert sup.run() == 1
     assert len(spawned) == 1
+
+
+def test_resume_safe_args_keeps_checkify_and_cache():
+    """--checkify / --compilation-cache are runtime flags, not config
+    overrides: dropping them would silently turn off NaN checks and
+    revert children to the auto cache path mid-run."""
+    args = ["--checkify", "--compilation-cache", "/fast/cache", "--seed", "3"]
+    assert resume_safe_args(args) == [
+        "--checkify", "--compilation-cache", "/fast/cache"
+    ]
+
+
+def test_count_checkpoints_ignores_parked_old_dirs(tmp_path):
+    """step_N.old overwrite backups (checkpoint.py's parked dirs) must
+    not count as checkpoint progress."""
+    d = tmp_path / "checkpoints"
+    (d / "step_00000100").mkdir(parents=True)
+    (d / "step_00000100.old").mkdir()
+    (d / "step_abc").mkdir()
+    sup = TrainingSupervisor.__new__(TrainingSupervisor)
+    sup.run_dir = tmp_path
+    assert sup._count_checkpoints() == 1

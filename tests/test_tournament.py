@@ -188,3 +188,74 @@ def test_full_tournament_round_robin(two_runs, tmp_path):
     # Random is the anchor at 1000
     random_row = next(r for r in results["standings"] if r["name"] == "Random")
     assert random_row["rating"] == pytest.approx(1000.0, abs=1.0)
+
+
+def test_repeat_avoidance_with_bye_subset():
+    """swiss_pods must pair in the GLOBAL index space when given a
+    bye-reduced subset: opponents_faced stores global indices, so
+    subset-local pairing would compare apples to oranges (the reference
+    has exactly this bug, tournament.rs:756 vs :2123-2136)."""
+    contestants = [C(f"c{i}", seed=10 - i) for i in range(5)]
+    for c in contestants:
+        c.swiss_points = 1.0  # past round 1, one bracket
+    # Global pair (1, 3) already met (Dutch pairing would pod them);
+    # contestant 0 got the bye this round.
+    contestants[1].opponents_faced = {3}
+    contestants[3].opponents_faced = {1}
+    active = [1, 2, 3, 4]
+    pods = swiss_pods(contestants, 2, indices=active)
+    assert all(i in active for pod in pods for i in pod)
+    for pod in pods:
+        assert set(pod) != {1, 3}, "repeat pairing not avoided"
+
+
+def test_select_checkpoints_priority_relative_paths(tmp_path, monkeypatch):
+    """best==latest must occupy ONE slot even when the caller passes
+    relative checkpoint paths (the best symlink resolves absolute)."""
+    import json as _json
+
+    from burn_ppo_tpu.tournament import (
+        enumerate_checkpoints,
+        select_checkpoints_with_priority,
+    )
+
+    ckpt = tmp_path / "run" / "checkpoints"
+    for step in (100, 200, 300):
+        d = ckpt / f"step_{step:08d}"
+        d.mkdir(parents=True)
+        (d / "metadata.json").write_text(
+            _json.dumps({"step": step, "num_players": 2})
+        )
+    (ckpt / "best").symlink_to("step_00000300")
+    monkeypatch.chdir(tmp_path)
+    rel = enumerate_checkpoints(Path("run") / "checkpoints")
+    picked = select_checkpoints_with_priority(
+        Path("run") / "checkpoints", rel, limit=2
+    )
+    assert len(picked) == 2
+    assert len({p.resolve() for p in picked}) == 2, (
+        "best==latest consumed both slots"
+    )
+
+
+def test_tournament_rejects_mixed_environments(tmp_path):
+    """A field mixing env_names must be rejected up front, not die
+    mid-tournament on an XLA shape mismatch."""
+    import jax
+
+    from burn_ppo_tpu.checkpoint import CheckpointManager, build_metadata
+    from burn_ppo_tpu.models.network import ActorCriticNetwork
+
+    for name, env in (("a", "connect_four"), ("b", "skull")):
+        net = ActorCriticNetwork(
+            network_type="mlp", obs_dim=5, action_count=2,
+            hidden_size=8, num_hidden=1, activation="tanh",
+        )
+        params = net.init(jax.random.PRNGKey(0))
+        mgr = CheckpointManager(tmp_path / name)
+        meta = build_metadata(
+            step=100, env_name=env, network=net, num_players=2
+        )
+        mgr.save(100, params, {}, {}, meta)
+    with pytest.raises(ValueError, match="mixed environments"):
+        run_tournament([tmp_path / "a", tmp_path / "b"], quiet=True)
