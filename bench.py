@@ -44,23 +44,51 @@ def _round_num(path: str) -> int:
         return 0
 
 
-def previous_bench() -> dict | None:
-    best = None
-    # Numeric round order: lexicographic sort would put BENCH_r100
-    # before BENCH_r99 and compare against a stale round.
+def previous_bench() -> dict:
+    """Most recent positive value PER METRIC across all BENCH_r*.json.
+
+    Metrics fall back independently: a sub-metric added (or recorded as
+    0) in the latest round must not mask an older valid baseline for it.
+    Numeric round order — lexicographic sort would put BENCH_r100 before
+    BENCH_r99 and compare against a stale round."""
+    merged: dict = {"value": 0.0, "extra": {}}
     for path in sorted(glob.glob("BENCH_r*.json"), key=_round_num):
         try:
             data = json.loads(open(path).read())
             # The driver wraps the printed line under "parsed".
             data = data.get("parsed", data)
-            if float(data.get("value", 0.0)) > 0:
-                best = data  # latest round wins (sorted order)
         except Exception:
             continue
-    return best
+        try:
+            if float(data.get("value", 0.0)) > 0:
+                merged["value"] = float(data["value"])
+        except (TypeError, ValueError):
+            pass
+        extra = data.get("extra")
+        for k, v in (extra.items() if isinstance(extra, dict) else ()):
+            try:
+                if float(v) > 0:
+                    merged["extra"][k] = float(v)
+            except (TypeError, ValueError):
+                continue
+    return merged
 
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def _iters_env(name: str, default: str) -> int:
+    """Parse an iteration-count override, clamped to >= 2: the
+    (dt_N - dt_1)/(iters - 1) differencing in time_per_iter degenerates
+    at iters=1 (runN == run1, the delta is pure noise clamped to 1e-9,
+    and the headline becomes ~1e20 env-steps/s)."""
+    iters = int(os.environ.get(name, default))
+    if iters < 2:
+        print(f"[bench] {name}={iters} < 2: clamping to 2 (differenced "
+              "timing needs distinct 1- and N-iteration programs)",
+              file=sys.stderr)
+        iters = 2
+    return iters
 
 
 def time_per_iter(run1, runN, iters, *args):
@@ -112,7 +140,7 @@ def bench_cartpole(jax, jnp):
 
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
     num_steps = int(os.environ.get("BENCH_NUM_STEPS", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    iters = _iters_env("BENCH_ITERS", "100")
 
     cfg = Config(
         env="cartpole",
@@ -195,7 +223,7 @@ def bench_selfplay_pool(jax, jnp):
     E = int(os.environ.get("BENCH_SP_NUM_ENVS", "4096"))
     T = int(os.environ.get("BENCH_SP_NUM_STEPS", "64"))
     K = int(os.environ.get("BENCH_SP_OPPONENTS", "8"))
-    iters = int(os.environ.get("BENCH_SP_ITERS", "20"))
+    iters = _iters_env("BENCH_SP_ITERS", "20")
 
     cfg = Config(
         env="connect_four", num_envs=E, num_steps=T, total_steps=10**9,
@@ -224,7 +252,11 @@ def bench_selfplay_pool(jax, jnp):
     opp = replicate(opp, mesh)
     step = make_pool_train_step(net, env, cfg, tx, L, K)
 
-    def run_iters(st, seating, n):
+    # ``opp`` enters as a jit ARGUMENT, never a closure: a closed-over
+    # K-stacked hidden-512 tree would be baked into the compiled program
+    # as a ~10MB constant and the axon tunnel's compile endpoint rejects
+    # big payloads (HTTP 413) — see CLAUDE.md platform gotchas.
+    def run_iters(st, seating, opp, n):
         def body(c, _):
             s, seat, acc = c
             s2, seat2, m, stats, _pool = step(
@@ -238,9 +270,9 @@ def bench_selfplay_pool(jax, jnp):
         )
         return acc
 
-    run1 = jax.jit(lambda s, seat: run_iters(s, seat, 1))
-    runN = jax.jit(lambda s, seat: run_iters(s, seat, iters))
-    per_iter, sp_spread = time_per_iter(run1, runN, iters, st, seating)
+    run1 = jax.jit(lambda s, seat, o: run_iters(s, seat, o, 1))
+    runN = jax.jit(lambda s, seat, o: run_iters(s, seat, o, iters))
+    per_iter, sp_spread = time_per_iter(run1, runN, iters, st, seating, opp)
     sps = E * T / per_iter
 
     # Same config WITHOUT the pool — records the full vs-pool overhead
@@ -354,7 +386,7 @@ def bench_skull_ctde(jax, jnp, compute_dtype=None):
 
     E = int(os.environ.get("BENCH_SKULL_NUM_ENVS", "4096"))
     T = int(os.environ.get("BENCH_SKULL_NUM_STEPS", "64"))
-    iters = int(os.environ.get("BENCH_SKULL_ITERS", "10"))
+    iters = _iters_env("BENCH_SKULL_ITERS", "10")
 
     cfg = Config(
         env="skull", player_count=4, network_type="ctde", num_envs=E,
@@ -421,11 +453,9 @@ def main() -> int:
     note("all paths done")
 
     prev = previous_bench()
-    prev_main = float(prev["value"]) if prev else 0.0
-    prev_sp = float((prev or {}).get("extra", {}).get("selfplay_pool_sps", 0.0))
-    prev_skull = float(
-        (prev or {}).get("extra", {}).get("skull_ctde_sps", 0.0)
-    )
+    prev_main = prev["value"]
+    prev_sp = prev["extra"].get("selfplay_pool_sps", 0.0)
+    prev_skull = prev["extra"].get("skull_ctde_sps", 0.0)
 
     extra = {
         "spread_pct": round(spread, 1),

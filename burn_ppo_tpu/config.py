@@ -331,6 +331,11 @@ class Config:
             errors.append(f"network_type must be mlp|cnn|ctde, got '{self.network_type}'")
         if self.num_epochs <= 0 or self.num_minibatches <= 0:
             errors.append("num_epochs and num_minibatches must be > 0")
+        if self.network_type == "cnn" and self.num_conv_layers < 1:
+            # init() sizes fc_in from the final conv's channel count; with
+            # zero conv layers the forward pass flattens raw input channels
+            # instead and dies on an opaque trace-time shape mismatch.
+            errors.append("num_conv_layers must be >= 1 for network_type=cnn")
         if not 0.0 <= self.opponent_pool_fraction <= 1.0:
             errors.append("opponent_pool_fraction must be in [0, 1]")
         if self.pool_rotation_interval < 1:

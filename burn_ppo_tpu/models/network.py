@@ -115,6 +115,12 @@ class ActorCriticNetwork:
         if self.network_type == "cnn":
             if self.obs_shape is None:
                 raise ValueError("CNN requires obs_shape (H, W, C)")
+            if self.num_conv_layers < 1:
+                # fc_in below is sized from the final conv's channels;
+                # with zero convs the forward flattens raw input channels
+                # instead — fail here, not at an opaque trace-time
+                # dot_general shape mismatch.
+                raise ValueError("CNN requires num_conv_layers >= 1")
             h, w, c = self.obs_shape
             keys = jax.random.split(key, 6)
             final_ch = self._conv_channels(max(self.num_conv_layers - 1, 0))

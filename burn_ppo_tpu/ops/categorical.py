@@ -90,12 +90,24 @@ def sample_with_temperature(
     temp == 0 -> greedy argmax; otherwise sample from softmax(logits/temp).
     ``temperature`` may be a traced scalar, so both branches are computed
     and selected (cheap: one extra argmax).
+
+    Greedy ties break toward the LAST maximal index: the reference's
+    ``Iterator::max_by`` (eval.rs:242-246) keeps the later of equal
+    elements, while ``jnp.argmax`` keeps the first — so the argmax runs
+    over the reversed axis. (The reference's sum==0 first-valid fallback
+    at eval.rs:255-258 is unreachable: with at least one finite masked
+    logit the max term contributes exp(0)=1, and an all-masked row goes
+    down a NaN path to the LAST index instead. All-masked rows are
+    game-logic violations the runtime guards flag; here the additive
+    -1e9 mask absorbs any |logit| < 64 in f32 (ulp at 1e9), so such rows
+    tie -> last index at temp 0 / ~uniform at temp>0, except that a
+    pathological |logit| >= 64 survives rounding and wins.)
     """
     temperature = jnp.asarray(temperature, dtype=logits.dtype)
     if temperature.ndim == logits.ndim - 1:
         temperature = temperature[..., None]  # per-row temperatures
     safe_t = jnp.maximum(temperature, 1e-8)
     sampled = jax.random.categorical(key, logits / safe_t, axis=-1)
-    greedy = jnp.argmax(logits, axis=-1)
+    greedy = logits.shape[-1] - 1 - jnp.argmax(logits[..., ::-1], axis=-1)
     temp_rows = temperature[..., 0] if temperature.ndim == logits.ndim else temperature
     return jnp.where(temp_rows <= 0.0, greedy, sampled).astype(jnp.int32)

@@ -56,10 +56,15 @@ def adaptive_entropy_step(
     """Device analog of ``get_coefficient`` (entropy.rs:73-87).
 
     Returns (coefficient to use for this update, state with it stored).
-    jnp.sign(0.0) == 0.0 matches the reference's explicit zero-error
-    branch."""
+    The reference's comment claims sign(0) = 0, but Rust's
+    ``f64::signum(+0.0)`` is +1.0 — target - current yields +0.0 under
+    IEEE round-to-nearest, so the actual behavior nudges the coefficient
+    UP by delta when exactly on target. ``copysign`` reproduces signum
+    exactly (including the unreachable -0.0 -> -1.0 case)."""
     error = target - state.last_entropy
-    adjusted = jnp.clip(state.coef + delta * jnp.sign(error), min_coef, max_coef)
+    adjusted = jnp.clip(
+        state.coef + delta * jnp.copysign(1.0, error), min_coef, max_coef
+    )
     coef = jnp.where(state.has_entropy, adjusted, state.coef)
     return coef, state.replace(coef=coef)
 
@@ -99,11 +104,15 @@ class AdaptiveEntropyController:
         return self.target_schedule.get(step) * self.max_entropy
 
     def get_coefficient(self, step: int) -> Tuple[float, float]:
-        """(coefficient, target_entropy); adjusts by the error sign."""
+        """(coefficient, target_entropy); adjusts by Rust signum(error).
+
+        ``f64::signum(+0.0)`` is +1.0, so an exactly-on-target entropy
+        still nudges the coefficient up by delta (entropy.rs:82; the
+        reference's sign(0)=0 comment misstates its own stdlib)."""
         target = self.target_entropy(step)
         if self.last_entropy is not None:
             error = target - self.last_entropy
-            sign = 0.0 if error == 0.0 else math.copysign(1.0, error)
+            sign = math.copysign(1.0, error)
             self.current_coef = min(
                 self.max_coef, max(self.min_coef, self.current_coef + self.delta * sign)
             )

@@ -100,10 +100,17 @@ def _sync_devices() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    for d in jax.local_devices():
-        # jnp.add on a committed operand runs on d's compute stream (a
-        # bare device_put is a transfer and may ride a separate stream).
-        float(np.asarray(jnp.add(jax.device_put(np.zeros(()), d), 0.0)))
+    # Enqueue on EVERY device first, then fetch: a fetch-per-iteration
+    # loop serializes one blocking host round-trip per device and bills
+    # ~n_devices RTTs of sync machinery to the measured span.
+    # jnp.add on a committed operand runs on d's compute stream (a bare
+    # device_put is a transfer and may ride a separate stream).
+    pending = [
+        jnp.add(jax.device_put(np.zeros(()), d), 0.0)
+        for d in jax.local_devices()
+    ]
+    for x in pending:
+        float(np.asarray(x))
 
 
 @contextmanager
@@ -176,9 +183,18 @@ class TraceCapture:
     num_updates: int = 2
     _active: bool = field(default=False, init=False)
     _done: bool = field(default=False, init=False)
+    # Update index the trace ACTUALLY started at: on a resumed run the
+    # first on_update_start may arrive far past start_update, and
+    # counting the window from the configured start would stop the trace
+    # immediately — capturing 1 update instead of num_updates with no
+    # warning.
+    _started_at: int = field(default=0, init=False)
 
     def on_update_start(self, update_idx: int) -> None:
         if self._done or self._active:
+            return
+        if self.num_updates <= 0:
+            self._done = True  # zero-length window: capture nothing
             return
         if update_idx >= self.start_update:
             import jax
@@ -186,11 +202,12 @@ class TraceCapture:
             Path(self.log_dir).mkdir(parents=True, exist_ok=True)
             jax.profiler.start_trace(str(self.log_dir))
             self._active = True
+            self._started_at = update_idx
 
     def on_update_end(self, update_idx: int) -> None:
         if not self._active:
             return
-        if update_idx >= self.start_update + self.num_updates - 1:
+        if update_idx >= self._started_at + self.num_updates - 1:
             import jax
 
             jax.profiler.stop_trace()

@@ -3,7 +3,11 @@ at TPU scale (Connect Four, hidden 512, K=8 stacked opponents).
 
 The stacked-parameter vmap design makes the opponent forward ~free:
 measured 251ms (pool) vs 242ms (selfplay) per update at 16384 envs x 64
-steps on one v5e chip = 4.2M env-steps/s.
+steps on one v5e chip = 4.2M env-steps/s. (Those numbers predate the
+symmetric-bookkeeping fix below — the selfplay side previously let XLA
+DCE its episode-stat summaries, slightly overstating pool overhead;
+bench.py's selfplay_pool path is the maintained apples-to-apples
+measurement.)
 """
 import os
 import sys
@@ -51,14 +55,18 @@ float(runN(st, seating, opp))
 t0=time.perf_counter(); float(runN(st, seating, opp)); dt=(time.perf_counter()-t0)/4
 print(f"pool step: {dt*1e3:.0f} ms -> {E*T/dt:.0f} env-steps/s (c4, hidden 512, K=8)")
 
-# compare with non-pool path same config
-step2 = make_train_step(net, env, cfg, tx)
+# compare with non-pool path same config — SYMMETRIC bookkeeping: fold
+# stats["count"] into the live checksum exactly like runN does, so XLA
+# can't dead-code-eliminate the episode-stat summaries from only the
+# selfplay side (that asymmetry overstated selfplay throughput and thus
+# pool overhead).
+step2 = make_train_step(net, env, cfg, tx, compact_stats=True)
 @jax.jit
 def runN2(st, n=4):
     def body(c, _):
         s, acc = c
-        s2, m, logs = step2(s, jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0))
-        return (s2, acc + m["policy_loss"]), None
+        s2, m, stats = step2(s, jnp.float32(1e-3), jnp.float32(0.05), jnp.float32(0.0))
+        return (s2, acc + m["policy_loss"] + stats["count"]), None
     (sf, acc), _ = jax.lax.scan(body, (st, jnp.zeros(())), None, length=n)
     return acc
 float(runN2(st))

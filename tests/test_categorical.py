@@ -70,6 +70,17 @@ def test_temperature_zero_is_argmax():
     np.testing.assert_array_equal(np.asarray(a), [1, 0])
 
 
+def test_temperature_zero_tie_breaks_to_last_index():
+    """Greedy ties resolve to the LAST maximal index, matching the
+    reference's Iterator::max_by (eval.rs:242-246), which keeps the
+    later of equal elements."""
+    logits = jnp.array(
+        [[2.0, 2.0, 0.1], [0.5, 1.0, 1.0], [3.0, 3.0, 3.0]]
+    )
+    a = sample_with_temperature(jax.random.PRNGKey(0), logits, 0.0)
+    np.testing.assert_array_equal(np.asarray(a), [1, 2, 2])
+
+
 def test_temperature_high_flattens():
     logits = jnp.tile(jnp.array([[0.0, 2.0]]), (8192, 1))
     a_low = sample_with_temperature(jax.random.PRNGKey(0), logits, 0.1)

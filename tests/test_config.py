@@ -435,3 +435,13 @@ def test_generate_run_name_ignores_non_numeric(tmp_path):
 def test_max_training_seconds():
     assert Config(max_training_time="90s").max_training_seconds() == 90.0
     assert Config().max_training_seconds() is None
+
+
+def test_validate_rejects_zero_conv_layers_for_cnn():
+    cfg = Config(env="connect_four", network_type="cnn", num_conv_layers=0)
+    with pytest.raises(ValueError, match="num_conv_layers"):
+        cfg.validate()
+
+
+def test_validate_allows_zero_conv_layers_for_mlp():
+    Config(env="cartpole", network_type="mlp", num_conv_layers=0).validate()

@@ -40,11 +40,14 @@ def test_decreases_when_entropy_above_target():
     assert coef == pytest.approx(0.009)
 
 
-def test_no_move_when_exactly_on_target():
-    c = make(target=0.5, actions=4, initial=0.01)
+def test_exact_target_nudges_up_like_rust_signum():
+    """entropy.rs:82 uses f64::signum, and signum(+0.0) is +1.0: an
+    exactly-on-target observation still moves the coefficient UP by
+    delta (the reference's sign(0)=0 comment misstates its stdlib)."""
+    c = make(target=0.5, actions=4, initial=0.01, delta=0.001)
     c.record_entropy(0.5 * math.log(4))
     coef, _ = c.get_coefficient(0)
-    assert coef == 0.01
+    assert coef == pytest.approx(0.011)
 
 
 def test_clamped_at_max():
@@ -120,7 +123,7 @@ def test_device_controller_matches_host_over_trajectory():
             rng.uniform(0.0, 3.0, size=30),  # random walk
             np.zeros(10),  # slam into max clamp
             np.full(10, 50.0),  # slam into min clamp
-            np.full(5, host.target_entropy(0)),  # exact-target (sign 0)
+            np.full(5, host.target_entropy(0)),  # exact-target (signum +1)
         ]
     )
     for i, e in enumerate(entropies):

@@ -118,3 +118,15 @@ def test_value_head_surgery():
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b) + 1.0)
     # untouched tree is shared
     assert params2["layers"] is params["layers"]
+
+
+def test_cnn_zero_conv_layers_rejected():
+    """init must fail fast: with 0 convs, fc_in would be sized from
+    conv_channels[0] while the forward flattens raw input channels —
+    an opaque trace-time dot_general mismatch otherwise."""
+    net = ActorCriticNetwork(
+        "cnn", obs_dim=86, action_count=7, obs_shape=(6, 7, 2),
+        num_conv_layers=0,
+    )
+    with pytest.raises(ValueError, match="num_conv_layers"):
+        net.init(jax.random.PRNGKey(0))

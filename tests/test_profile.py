@@ -122,3 +122,50 @@ def test_trace_capture_window(tmp_path, monkeypatch):
     # close() after done is a no-op
     cap.close()
     assert [c[0] for c in calls] == ["start", "stop"]
+
+
+def _fake_profiler(monkeypatch, calls):
+    import jax
+
+    class FakeProfiler:
+        @staticmethod
+        def start_trace(d):
+            calls.append(("start", d))
+
+        @staticmethod
+        def stop_trace():
+            calls.append(("stop", None))
+
+    monkeypatch.setattr(jax, "profiler", FakeProfiler)
+
+
+def test_trace_capture_resumed_run_gets_full_window(tmp_path, monkeypatch):
+    """On a resumed run the first update index may be far past
+    start_update; the window must count from the ACTUAL start, not the
+    configured one (else it stops after 1 update)."""
+    from burn_ppo_tpu import profile as prof
+
+    calls = []
+    _fake_profiler(monkeypatch, calls)
+    cap = prof.TraceCapture(tmp_path / "tr", start_update=10, num_updates=3)
+    stops_at = None
+    for i in range(100, 106):
+        cap.on_update_start(i)
+        cap.on_update_end(i)
+        if calls and calls[-1][0] == "stop" and stops_at is None:
+            stops_at = i
+    assert [c[0] for c in calls] == ["start", "stop"]
+    assert stops_at == 102  # updates 100,101,102 captured = num_updates
+
+
+def test_trace_capture_zero_updates_captures_nothing(tmp_path, monkeypatch):
+    from burn_ppo_tpu import profile as prof
+
+    calls = []
+    _fake_profiler(monkeypatch, calls)
+    cap = prof.TraceCapture(tmp_path / "tr", start_update=1, num_updates=0)
+    for i in range(1, 4):
+        cap.on_update_start(i)
+        cap.on_update_end(i)
+    assert calls == []
+    assert cap._done
