@@ -172,6 +172,64 @@ def concat_comparison_arrays(
     )
 
 
+def aggregate_comparison_arrays(arrays: ComparisonArrays) -> ComparisonArrays:
+    """Merge identical comparisons by summing weights.
+
+    The PL likelihood is a product over comparisons, so two comparisons
+    with the same winner and the same loser MULTISET are mathematically
+    one comparison of summed weight — every term the MM update and the
+    Fisher information read (wins[winner] += w, denom[p] += w/sum_exp,
+    w * (diag(p) - p p^T)) is linear in the weight. Aggregating bounds
+    rating-history memory by the number of DISTINCT matchups (≤ a few
+    thousand for a pool of checkpoints) instead of the number of games
+    played (millions over a long run, rating_history.rs recomputes from
+    the full log every checkpoint). Loser order within a comparison is
+    canonicalized (sorted) — the math never reads it.
+
+    Fully vectorized: rows are grouped by loser count, losers sorted
+    within each row via one lexsort, then np.unique over [winner, losers]
+    key rows with bincount-summed weights. Deterministic output order
+    (ascending count, then lexicographic key)."""
+    C = len(arrays)
+    if C == 0:
+        return arrays
+    row_ids = np.repeat(np.arange(C, dtype=np.int64), arrays.counts)
+    # Sort losers within each row: stable sort by (row, loser value).
+    order = np.lexsort((arrays.losers, row_ids))
+    sorted_losers = arrays.losers[order]
+    offsets = np.concatenate([[0], np.cumsum(arrays.counts)])
+
+    out_w, out_c, out_l, out_wt = [], [], [], []
+    for c in np.unique(arrays.counts):
+        rows = np.nonzero(arrays.counts == c)[0]
+        c = int(c)
+        if c == 0:
+            # Degenerate (never produced by expand_games_to_comparisons);
+            # merge by winner alone.
+            uniq, inv = np.unique(arrays.winners[rows], return_inverse=True)
+            out_w.append(uniq.astype(np.int32))
+            out_c.append(np.zeros(len(uniq), np.int32))
+            out_l.append(np.zeros(0, np.int32))
+            out_wt.append(np.bincount(inv, weights=arrays.weights[rows]))
+            continue
+        gather = offsets[rows][:, None] + np.arange(c)[None, :]
+        keys = np.concatenate(
+            [arrays.winners[rows][:, None], sorted_losers.take(gather.ravel()).reshape(-1, c)],
+            axis=1,
+        )
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        out_w.append(uniq[:, 0].astype(np.int32))
+        out_c.append(np.full(len(uniq), c, np.int32))
+        out_l.append(uniq[:, 1:].astype(np.int32).ravel())
+        out_wt.append(np.bincount(inv.ravel(), weights=arrays.weights[rows]))
+    return ComparisonArrays(
+        np.concatenate(out_w),
+        np.concatenate(out_c),
+        np.concatenate(out_l),
+        np.concatenate(out_wt),
+    )
+
+
 def _mm_update(
     comparisons: List[_Comparison], gammas: np.ndarray, epsilon: float
 ) -> np.ndarray:

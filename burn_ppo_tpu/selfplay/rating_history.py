@@ -22,6 +22,7 @@ from burn_ppo_tpu.selfplay.plackett_luce import (
     ComparisonArrays,
     GameResult,
     PlackettLuceConfig,
+    aggregate_comparison_arrays,
     compute_ratings_from_comparisons,
     comparisons_to_arrays,
     concat_comparison_arrays,
@@ -38,12 +39,53 @@ class RatingSnapshot:
     computation_time_ms: float = 0.0
 
 
+def _expand_placements_vectorized(
+    players: np.ndarray, places: np.ndarray, present: np.ndarray
+) -> ComparisonArrays:
+    """Placements -> weighted comparisons for a batch of games at once —
+    the array twin of expand_games_to_comparisons (same math: each player
+    with at least one strictly-lower opponent wins one comparison whose
+    losers are ALL strictly-lower players, weight 1/|tie group|,
+    plackett_luce.rs:195-254).
+
+    ``players``/``places``: [N, M]; ``present``: [N, M] bool (False =
+    seat absent from this game). Comparison order differs from the
+    per-game expansion (row-major by seat, not by placement rank) — the
+    PL likelihood is order-free, and downstream aggregation canonicalizes
+    anyway."""
+    N, M = players.shape
+    # Absent seats must never compare: give them a placement below
+    # everyone (never a loser) and mask them as winners explicitly.
+    p = np.where(present, places, np.iinfo(np.int64).min)
+    lower = p[:, None, :] > p[:, :, None]  # [N, i, j]: j strictly worse than i
+    n_lower = lower.sum(axis=2)  # [N, M]
+    tie_cnt = ((p[:, None, :] == p[:, :, None]).sum(axis=2))  # [N, M]
+    is_winner = present & (n_lower > 0)
+    w_rows, w_cols = np.nonzero(is_winner)
+    if len(w_rows) == 0:
+        return comparisons_to_arrays([])
+    winners = players[w_rows, w_cols].astype(np.int32)
+    counts = n_lower[w_rows, w_cols].astype(np.int32)
+    weights = 1.0 / tie_cnt[w_rows, w_cols].astype(np.float64)
+    loser_mask = lower[w_rows, w_cols]  # [W, M]
+    loser_rows = np.broadcast_to(players[w_rows], loser_mask.shape)
+    losers = loser_rows[loser_mask].astype(np.int32)
+    return ComparisonArrays(winners, counts, losers, weights)
+
+
 class RatingHistory:
     def __init__(self, run_dir: str | Path):
         self.run_dir = Path(run_dir)
         self.games_path = self.run_dir / "rating_games.jsonl"
         self.metadata_path = self.run_dir / "rating_metadata.json"
-        self.games: List[dict] = []
+        # Host memory is bounded by DISTINCT matchups, not games played:
+        # every recorded game lives on disk (rating_games.jsonl, reference
+        # parity), but in memory only the not-yet-expanded tail of the log
+        # (_pending) plus weight-aggregated comparison arrays are kept —
+        # raw game dicts are dropped the moment they are folded into the
+        # arrays. num_games is the total count (disk lines).
+        self.num_games: int = 0
+        self._pending: List[dict] = []
         self.checkpoint_to_idx: Dict[str, int] = {}
         self.idx_to_checkpoint: List[str] = []
         self.idx_to_step: List[int] = []
@@ -52,9 +94,9 @@ class RatingHistory:
         self._cached_ratings: Optional[List[float]] = None
         # Incremental-comparison cache: the game log is append-only, so
         # expanded comparisons are cached as flat-array chunks and only
-        # the tail of the log (games[_expanded_upto:]) is expanded at
-        # each checkpoint. Player indices are append-only too (_register),
-        # so cached chunks never go stale.
+        # the tail of the log (_pending) is expanded at each checkpoint.
+        # Player indices are append-only too (_register), so cached
+        # chunks never go stale.
         self._expanded_upto: int = 0
         self._chunks: List[ComparisonArrays] = []
         self._games_played = np.zeros(0, dtype=np.int64)
@@ -70,20 +112,25 @@ class RatingHistory:
     def load(run_dir: str | Path) -> "RatingHistory":
         h = RatingHistory(run_dir)
         cached_upto = h._load_cache()  # registers cached player indices
-        lines: List[str] = []
-        if h.games_path.exists():
-            lines = [
-                l for l in h.games_path.read_text().splitlines() if l.strip()
-            ]
-        if cached_upto > len(lines):
-            # jsonl shrank under the cache (e.g. a crash lost a tail
-            # write) — the cache's player indices no longer match the
-            # log.  Reset BEFORE metadata registration so the index
-            # space rebuilds consistently (a late reset would wipe the
-            # metadata-registered indices while first_checkpoint_idx
-            # kept pointing into the old numbering).
-            h._reset_cache()
-            cached_upto = 0
+        # The jsonl can be hundreds of MB in the million-game regime —
+        # stream it (never read_text/splitlines the whole log into RAM).
+        if cached_upto > 0:
+            num_lines = 0
+            if h.games_path.exists():
+                with open(h.games_path) as f:
+                    for line in f:
+                        if line.strip():
+                            num_lines += 1
+            if cached_upto > num_lines:
+                # jsonl shrank under the cache (e.g. a crash lost a tail
+                # write) — the cache's player indices no longer match the
+                # log.  Reset BEFORE metadata registration so the index
+                # space rebuilds consistently (a late reset would wipe
+                # the metadata-registered indices while
+                # first_checkpoint_idx kept pointing into the old
+                # numbering).
+                h._reset_cache()
+                cached_upto = 0
         if h.metadata_path.exists():
             meta = json.loads(h.metadata_path.read_text())
             for name, step in meta.get("checkpoint_steps", {}).items():
@@ -93,16 +140,30 @@ class RatingHistory:
             if first in h.checkpoint_to_idx:
                 h.first_checkpoint_idx = h.checkpoint_to_idx[first]
             h.current_checkpoint = meta.get("current_checkpoint")
-        # Games the cache already covers never need re-parsing; keep
-        # placeholders so indices/total counts stay correct.
-        h.games = [None] * cached_upto
+        # Games the cache already covers never need re-parsing; only the
+        # tail past the cache is parsed. A huge tail (cache-less cold
+        # load of a long run) folds into comparison arrays every 200k
+        # games so resident memory never scales with the log.
+        h.num_games = cached_upto
         h._expanded_upto = cached_upto
-        for line in lines[cached_upto:]:
-            game = json.loads(line)
-            h.games.append(game)
-            h._register(game["current"], 0)
-            for o in game["opponents"]:
-                h._register(o, 0)
+        if h.games_path.exists():
+            seen = 0
+            with open(h.games_path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    seen += 1
+                    if seen <= cached_upto:
+                        continue
+                    game = json.loads(line)
+                    h._pending.append(game)
+                    h.num_games += 1
+                    h._register(game["current"], 0)
+                    for o in game["opponents"]:
+                        h._register(o, 0)
+                    if len(h._pending) >= 200_000:
+                        h._expand_pending()
+                        h._compact_chunks()
         # Metadata lost/incomplete but games survive: anchor the earliest
         # registered player (rating_history.rs:145-146). Without this the
         # next on_checkpoint_saved would anchor 1000 at the NEWEST
@@ -117,7 +178,8 @@ class RatingHistory:
         return self.run_dir / "rating_cache.npz"
 
     def _reset_cache(self) -> None:
-        self.games = []
+        self.num_games = 0
+        self._pending = []
         self.checkpoint_to_idx = {}
         self.idx_to_checkpoint = []
         self.idx_to_step = []
@@ -238,11 +300,163 @@ class RatingHistory:
                 "opponents": list(opponents),
                 "placements": [int(p) for p in placements],
             }
-            self.games.append(game)
+            self._pending.append(game)
+            self.num_games += 1
             lines.append(json.dumps(game))
         self._cached_ratings = None
         with open(self.games_path, "a") as f:
             f.write("\n".join(lines) + "\n")
+
+    def record_games_arrays(
+        self,
+        current: str,
+        active_names: Sequence[str],
+        learner_place: np.ndarray,
+        opp_slots: np.ndarray,
+        opp_places: np.ndarray,
+    ) -> None:
+        """Array-native batch record: the pool training path's zero-
+        per-game-Python entry (the reference's record_game is called in a
+        per-episode loop, rating_history.rs; here a whole K-update window
+        of games lands as three numpy arrays).
+
+        ``learner_place``: [N] learner placements; ``opp_slots``: [N, P-1]
+        rotation-slot indices into ``active_names`` (entries outside
+        [0, len(active_names)) mean "seat not faced a pool opponent" and
+        are dropped); ``opp_places``: [N, P-1] those opponents'
+        placements. Rows with no valid opponent slot are skipped.
+
+        Writes jsonl lines byte-identical to record_games_batch (distinct
+        rows are serialized once and reused — placements and slots live
+        in a tiny value space) and folds comparisons in with one
+        vectorized expansion instead of per-game dicts."""
+        learner_place = np.asarray(learner_place, np.int64)
+        opp_slots = np.asarray(opp_slots, np.int64)
+        opp_places = np.asarray(opp_places, np.int64)
+        K = len(active_names)
+        valid = (opp_slots >= 0) & (opp_slots < K)
+        keep = valid.any(axis=1)
+        if not keep.any():
+            return
+        learner_place = learner_place[keep]
+        opp_slots = opp_slots[keep]
+        opp_places = opp_places[keep]
+        valid = valid[keep]
+        N, S = opp_slots.shape
+
+        self._register(current, 0)
+        for name in active_names:
+            self._register(name, 0)
+
+        # --- jsonl append: serialize each DISTINCT row once ------------
+        # Canonicalize invalid slots so they can't split identical rows.
+        rows = np.concatenate(
+            [
+                learner_place[:, None],
+                np.where(valid, opp_slots, -1),
+                np.where(valid, opp_places, 0),
+            ],
+            axis=1,
+        )
+        uniq, inv = np.unique(rows, axis=0, return_inverse=True)
+        uniq_lines = []
+        for row in uniq:
+            lp = int(row[0])
+            slots = row[1 : 1 + S]
+            places = row[1 + S :]
+            opponents = [active_names[int(s)] for s in slots if s >= 0]
+            placements = [lp] + [int(p) for s, p in zip(slots, places) if s >= 0]
+            uniq_lines.append(
+                json.dumps(
+                    {
+                        "current": current,
+                        "opponents": opponents,
+                        "placements": placements,
+                    }
+                )
+            )
+        with open(self.games_path, "a") as f:
+            f.write("\n".join(uniq_lines[i] for i in inv.ravel()) + "\n")
+
+        # --- vectorized comparison expansion ---------------------------
+        # Prefix bookkeeping: anything recorded through the dict path
+        # must fold in first so _expanded_upto stays a jsonl prefix.
+        self._expand_pending()
+        slot_to_idx = np.asarray(
+            [self.checkpoint_to_idx[n] for n in active_names], np.int64
+        )
+        cur_idx = self.checkpoint_to_idx[current]
+        players = np.concatenate(
+            [
+                np.full((N, 1), cur_idx, np.int64),
+                np.where(valid, slot_to_idx[np.where(valid, opp_slots, 0)], -1),
+            ],
+            axis=1,
+        )  # [N, S+1]; -1 = absent seat
+        places = np.concatenate(
+            [learner_place[:, None], opp_places], axis=1
+        )  # [N, S+1]
+        present = np.concatenate(
+            [np.ones((N, 1), bool), valid], axis=1
+        )
+        chunk = _expand_placements_vectorized(players, places, present)
+        if len(chunk):
+            self._chunks.append(chunk)
+        counts = np.bincount(
+            players[present].ravel(), minlength=len(self.idx_to_checkpoint)
+        )
+        if len(self._games_played) < len(counts):
+            self._games_played = np.concatenate(
+                [
+                    self._games_played,
+                    np.zeros(
+                        len(counts) - len(self._games_played), np.int64
+                    ),
+                ]
+            )
+        self._games_played[: len(counts)] += counts
+        self.num_games += N
+        self._expanded_upto = self.num_games
+        self._cached_ratings = None
+
+    def _expand_pending(self) -> None:
+        """Fold dict-path games into the comparison arrays and drop the
+        raw dicts (memory is bounded by distinct matchups, not games)."""
+        if not self._pending:
+            return
+        n = len(self.idx_to_checkpoint)
+        pl_games = []
+        for game in self._pending:
+            players = [self.checkpoint_to_idx[game["current"]]] + [
+                self.checkpoint_to_idx[o] for o in game["opponents"]
+            ]
+            pl_games.append(GameResult.of(players, game["placements"]))
+        chunk = comparisons_to_arrays(expand_games_to_comparisons(pl_games))
+        if len(chunk):
+            self._chunks.append(chunk)
+        if len(self._games_played) < n:
+            self._games_played = np.concatenate(
+                [
+                    self._games_played,
+                    np.zeros(n - len(self._games_played), dtype=np.int64),
+                ]
+            )
+        for g in pl_games:
+            for p in g.players:
+                self._games_played[p] += 1
+        self._pending = []
+        self._expanded_upto = self.num_games
+
+    def _compact_chunks(self) -> None:
+        """Concat AND weight-aggregate the chunk list: identical matchups
+        merge, so the resident array is O(distinct matchups) — the
+        million-game regime carries MBs, not GBs, per host."""
+        if self._chunks:
+            self._chunks = [
+                aggregate_comparison_arrays(
+                    concat_comparison_arrays(self._chunks)
+                )
+            ]
 
     def on_checkpoint_saved(self, checkpoint_name: str, step: int) -> None:
         idx = self._register(checkpoint_name, step)
@@ -263,32 +477,11 @@ class RatingHistory:
     # ------------------------------------------------------------------
     def compute(self) -> RatingSnapshot:
         n = len(self.idx_to_checkpoint)
-        if n == 0 or not self.games:
+        if n == 0 or self.num_games == 0:
             self._cached_ratings = []
             return RatingSnapshot()
 
-        new_games = self.games[self._expanded_upto :]
-        if new_games:
-            pl_games = []
-            for game in new_games:
-                players = [self.checkpoint_to_idx[game["current"]]] + [
-                    self.checkpoint_to_idx[o] for o in game["opponents"]
-                ]
-                pl_games.append(GameResult.of(players, game["placements"]))
-            chunk = comparisons_to_arrays(expand_games_to_comparisons(pl_games))
-            if len(chunk):
-                self._chunks.append(chunk)
-            if len(self._games_played) < n:
-                self._games_played = np.concatenate(
-                    [
-                        self._games_played,
-                        np.zeros(n - len(self._games_played), dtype=np.int64),
-                    ]
-                )
-            for g in pl_games:
-                for p in g.players:
-                    self._games_played[p] += 1
-            self._expanded_upto = len(self.games)
+        self._expand_pending()
 
         games_played = self._games_played
         if len(games_played) < n:
@@ -296,8 +489,8 @@ class RatingHistory:
                 [games_played, np.zeros(n - len(games_played), dtype=np.int64)]
             )
         if self._chunks:
-            arrays = concat_comparison_arrays(self._chunks)
-            self._chunks = [arrays]  # compact: one memcpy per checkpoint
+            self._compact_chunks()
+            arrays = self._chunks[0]
         else:
             arrays = comparisons_to_arrays([])
 
@@ -348,7 +541,7 @@ class RatingHistory:
             current_elo=adjusted[current_idx],
             best_elo=adjusted[best_idx],
             best_step=self.idx_to_step[best_idx],
-            total_games=len(self.games),
+            total_games=self.num_games,
             computation_time_ms=result.stats.computation_time_ms,
         )
 

@@ -340,6 +340,13 @@ def _aggregate_window(metrics_all, stats_all):
     for gk in GUARD_METRIC_KEYS:
         if gk in metrics_all:
             metrics[gk] = jnp.sum(metrics_all[gk])
+    # Window-maxima for the two spike-prone series: the reference logs
+    # EVERY update (main.rs:1026), so a one-update KL blow-up inside a
+    # fused K-window must stay visible even though only the last
+    # update's value is reported as the boundary metric.
+    for mk in ("approx_kl", "clip_fraction"):
+        if mk in metrics_all:
+            metrics[f"{mk}_max"] = jnp.max(metrics_all[mk])
     stats = {
         "count": jnp.sum(stats_all["count"]),
         "ret_sum": jnp.sum(stats_all["ret_sum"], axis=0),
@@ -1208,22 +1215,12 @@ class Trainer:
         current = self.rating_history.current_checkpoint
         if not self.is_primary or current is None:
             return
-        K = len(active_names)
-        games = []
-        for i in range(rows.shape[0]):
-            pairs = [
-                (active_names[s], int(p))
-                for s, p in zip(opp_slots[i], opp_places[i])
-                if 0 <= s < K
-            ]
-            if pairs:
-                games.append(
-                    (
-                        [n for n, _ in pairs],
-                        [int(learner_place[i])] + [p for _, p in pairs],
-                    )
-                )
-        self.rating_history.record_games_batch(current, games)
+        # Array-native record: no per-game Python on the update path
+        # (distinct rows serialize once; comparison expansion is one
+        # vectorized pass in RatingHistory).
+        self.rating_history.record_games_arrays(
+            current, active_names, learner_place, opp_slots, opp_places
+        )
 
     # ------------------------------------------------------------------
     def _phase_timed_step(self, lr, ent_coef, shaping):
@@ -1697,6 +1694,9 @@ class Trainer:
             log("train/entropy_target", ent_target, step)
         log("train/approx_kl", m["approx_kl"], step)
         log("train/clip_fraction", m["clip_fraction"], step)
+        if "approx_kl_max" in m:
+            log("train/approx_kl_max", m["approx_kl_max"], step)
+            log("train/clip_fraction_max", m["clip_fraction_max"], step)
         log("train/total_loss", m["total_loss"], step)
         log("train/learning_rate", lr, step)
         log("train/explained_variance", m["explained_variance"], step)

@@ -129,7 +129,7 @@ def test_rating_history_roundtrip(tmp_path):
     assert snap.total_games == 6
 
     h2 = RatingHistory.load(tmp_path)
-    assert len(h2.games) == 6
+    assert h2.num_games == 6
     assert h2.current_checkpoint == "step_00000200"
     snap2 = h2.compute()
     assert snap2.total_games == 6
@@ -337,7 +337,8 @@ def test_rating_cache_persistence_roundtrip(tmp_path):
     cold = RatingHistory(tmp_path / "nocache")  # fresh dir trick not needed:
     cold = RatingHistory.load(tmp_path)
     assert cold._cache_saved_upto == 120  # cache actually used
-    assert cold.games[:120] == [None] * 120  # not re-parsed
+    assert len(cold._pending) == 10  # only the tail past the cache parsed
+    assert cold.num_games == 130
     s_cached = cold.compute()
 
     (tmp_path / "rating_cache.npz").unlink()

@@ -58,6 +58,7 @@ def test_window_equals_sequential_steps():
     step = jax.jit(make_train_step(net, env, cfg, tx, compact_stats=True))
     seq_state = state0
     seq_stats_sum = 0.0
+    seq_kls, seq_clips = [], []
     for i in range(K):
         seq_state, metrics, stats = step(
             seq_state,
@@ -66,6 +67,8 @@ def test_window_equals_sequential_steps():
             jnp.asarray(scs[i]),
         )
         seq_stats_sum += float(stats["count"])
+        seq_kls.append(float(metrics["approx_kl"]))
+        seq_clips.append(float(metrics["clip_fraction"]))
     seq_metrics = {k: float(v) for k, v in metrics.items()}
 
     env, net, tx, state0 = build(cfg)  # fresh identical state
@@ -88,6 +91,38 @@ def test_window_equals_sequential_steps():
     assert float(win_stats["count"]) == seq_stats_sum
     # Guard counters sum over the window (not last-update-only).
     assert win_metrics["nonfinite_count"] == 0.0
+    # Window-max series equal the max over the K sequential updates —
+    # a mid-window spike must not be masked by the last-update report.
+    np.testing.assert_allclose(
+        win_metrics["approx_kl_max"], max(seq_kls), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        win_metrics["clip_fraction_max"], max(seq_clips), rtol=1e-6
+    )
+
+
+def test_aggregate_window_surfaces_mid_window_spike():
+    """A synthetic one-update KL blow-up inside a window must surface in
+    approx_kl_max even though the boundary metric is the last update's."""
+    from burn_ppo_tpu.train import _aggregate_window
+
+    metrics_all = {
+        "approx_kl": jnp.asarray([0.01, 7.5, 0.02], jnp.float32),
+        "clip_fraction": jnp.asarray([0.1, 0.9, 0.05], jnp.float32),
+    }
+    stats_all = {
+        "count": jnp.zeros(3),
+        "ret_sum": jnp.zeros((3, 1)),
+        "ret0_max": jnp.zeros(3),
+        "ret0_min": jnp.zeros(3),
+        "len_sum": jnp.zeros(3),
+        "pts_sum": jnp.zeros((3, 1)),
+        "draws": jnp.zeros(3),
+    }
+    m, _ = _aggregate_window(metrics_all, stats_all)
+    assert float(m["approx_kl"]) == float(np.float32(0.02))
+    assert float(m["approx_kl_max"]) == 7.5
+    assert float(m["clip_fraction_max"]) == float(np.float32(0.9))
 
 
 def test_window_rng_chain_matches_sequential():
