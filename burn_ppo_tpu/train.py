@@ -21,6 +21,7 @@ tracking (main.rs:1226-1418), per-player episode metrics
 from __future__ import annotations
 
 import json
+import os
 import signal
 import time
 from pathlib import Path
@@ -1620,6 +1621,25 @@ class Trainer:
             if self.trace_capture is not None:
                 self.trace_capture.close()
             self.metrics.flush()
+            # Multi-process debug hook: EVERY process dumps its pool-
+            # stats replica so the dryrun can diff them byte-for-byte
+            # (the lockstep invariant says they must be identical; only
+            # host 0 normally persists, so a desync would be invisible).
+            if self.pool is not None and os.environ.get(
+                "BURN_PPO_DUMP_POOL_STATS"
+            ):
+                pid = jax.process_index()
+                (self.run_dir / f"pool_stats_proc{pid}.json").write_text(
+                    json.dumps(
+                        {
+                            "opponents": [
+                                s.to_dict() for s in self.pool.stats.values()
+                            ]
+                        },
+                        indent=2,
+                        sort_keys=True,
+                    )
+                )
 
         elapsed = time.time() - start_time
         total_sps = (self.global_step - start_step) / max(elapsed, 1e-9)
