@@ -446,10 +446,28 @@ class CheckpointManager:
         return json.loads((Path(ckpt_dir) / "metadata.json").read_text())
 
     @staticmethod
+    def is_reference_checkpoint(ckpt_dir: str | Path) -> bool:
+        """A reference (burn-ppo) checkpoint: Burn NamedMpk model file
+        instead of model.npz (checkpoint.rs:195-272)."""
+        d = Path(ckpt_dir)
+        return not (d / "model.npz").exists() and (
+            (d / "model.mpk").exists() or (d / "model").exists()
+        )
+
+    @staticmethod
     def load_model(ckpt_dir: str | Path) -> Tuple[ActorCriticNetwork, Any, Dict[str, Any]]:
         """(network, params, metadata) — the eval/tournament entry point
-        (reference eval.rs:734 load_model_from_checkpoint)."""
+        (reference eval.rs:734 load_model_from_checkpoint). Reference
+        NamedMpk checkpoints route through burn_ppo_tpu.interop, so a
+        reference-trained model can enter eval/tournaments directly."""
         ckpt_dir = Path(ckpt_dir)
+        if CheckpointManager.is_reference_checkpoint(ckpt_dir):
+            from burn_ppo_tpu.interop import load_reference_checkpoint
+
+            network, params, _obs_norm, meta = load_reference_checkpoint(
+                ckpt_dir
+            )
+            return network, params, meta
         meta = CheckpointManager.load_metadata(ckpt_dir)
         network = network_from_metadata(meta)
         # Shapes/dtypes only — eval_shape avoids running the real
@@ -478,6 +496,13 @@ class CheckpointManager:
         None if the checkpoint trained without normalize_obs."""
         from burn_ppo_tpu.ppo.normalization import ObsNormState
 
+        if CheckpointManager.is_reference_checkpoint(ckpt_dir):
+            # Reference checkpoints signal the normalizer by the file's
+            # presence (normalizer.json, checkpoint.rs:428-439).
+            from burn_ppo_tpu.interop import load_reference_checkpoint
+
+            _n, _p, obs_norm, _m = load_reference_checkpoint(ckpt_dir)
+            return obs_norm
         meta = CheckpointManager.load_metadata(ckpt_dir)
         if not meta.get("normalize_obs"):
             return None

@@ -13,7 +13,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_cli(*args, cwd=None, timeout=600):
+def run_cli(*args, cwd=None, timeout=600, stdin=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
@@ -24,6 +24,7 @@ def run_cli(*args, cwd=None, timeout=600):
         cwd=cwd or REPO,
         env=env,
         timeout=timeout,
+        input=stdin,
     )
 
 
@@ -192,6 +193,73 @@ def test_cnn_eval_cli(cnn_run):
     )
     assert r.returncode == 0, r.stderr
     assert "Results over" in r.stdout
+
+
+# ------------------------------------------- watch mode (eval.rs:1068-1279)
+def test_watch_mode_rotates_seats_between_games(cnn_run):
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--random", "--watch", "-n", "2",
+        "--seed", "3",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "=== Game 1/2 ===" in r.stdout
+    assert "=== Game 2/2 ===" in r.stdout
+    seat_lines = [l for l in r.stdout.splitlines() if l.startswith("Seats:")]
+    assert len(seat_lines) == 2
+    # Seat assignment rotates one position per game (2 players: swap).
+    assert seat_lines[0] != seat_lines[1]
+    p0_g1 = seat_lines[0].split("P0=")[1].split(",")[0]
+    p1_g2 = seat_lines[1].split("P1=")[1].split(",")[0]
+    assert p0_g1 == p1_g2  # game 1's P0 sits at P1 in game 2
+    assert r.stdout.count("Final rewards:") == 2
+
+
+def test_watch_animate_fps(cnn_run):
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--random", "--animate", "--fps", "200",
+        "-n", "1", "--seed", "4", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "=== Game 1/1 ===" in r.stdout
+    assert "Final rewards:" in r.stdout
+    # The board actually rendered between moves.
+    assert r.stdout.count("|") > 10
+
+
+def test_watch_step_mode_waits_for_enter(cnn_run):
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--random", "--step", "-n", "1",
+        "--seed", "5", stdin="\n" * 200,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "[Enter to continue]" in r.stdout
+    assert "Final rewards:" in r.stdout
+
+
+# ------------------------------------------- human play (human.rs:31-115)
+def test_human_play_scripted_stdin(cnn_run):
+    script = "help\nrender\nhint\nnot-a-move\n" + "random\n" * 60
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--human", "Alice", "-n", "1",
+        "--seed", "6", stdin=script,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Commands:" in r.stdout  # help
+    assert "your move>" in r.stdout
+    assert "(random)" in r.stdout  # random command echoed the move
+    assert "%" in r.stdout  # hint printed move probabilities
+    assert "invalid input" in r.stdout or "not legal" in r.stdout
+    assert "Final rewards:" in r.stdout
+    assert "Wins:" in r.stdout
+
+
+def test_human_play_quit_immediately(cnn_run):
+    r = run_cli(
+        "eval", "-c", str(cnn_run), "--human", "Alice", "-n", "1",
+        "--seed", "6", stdin="quit\n",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Wins:" not in r.stdout  # quit before the game finished
 
 
 @pytest.fixture(scope="module")
