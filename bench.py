@@ -423,7 +423,38 @@ def bench_skull_ctde(jax, jnp, compute_dtype=None):
     run1 = jax.jit(lambda s: run_iters(s, 1))
     runN = jax.jit(lambda s: run_iters(s, iters))
     per_iter, _ = time_per_iter(run1, runN, iters, st)
-    return E * T / per_iter
+    sps = E * T / per_iter
+
+    # Analytic model FLOPs per env step: rollout fwd (actor + critic for
+    # GAE values) + epochs x (fwd + ~2x fwd for bwd) over the samples.
+    h = cfg.hidden_size
+    d, a = env.spec.obs_dim, env.spec.num_actions
+    pd = env.spec.privileged_obs_dim
+    fwd = dense_fwd_flops(
+        [(d, h), (h, h), (h, a)]  # actor
+        + [(pd + d, h), (h, h), (h, 1)]  # CTDE critic on cat(priv, obs)
+    )
+    flops_per_step = fwd * (1 + 3 * cfg.num_epochs)
+
+    # XLA's own cost model for the compiled step (roofline evidence:
+    # analytic FLOPs vs compiler FLOPs vs bytes moved).
+    cost = {}
+    try:
+        comp = jax.jit(lambda s: run_iters(s, 1)).lower(st).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca:
+            cost = {
+                "xla_gflops_per_envstep": round(
+                    float(ca.get("flops", 0.0)) / (E * T) / 1e9, 6
+                ),
+                "xla_bytes_per_envstep": round(
+                    float(ca.get("bytes accessed", 0.0)) / (E * T), 1
+                ),
+            }
+    except Exception:
+        pass
+    return sps, sps * flops_per_step, cost
 
 
 def main() -> int:
@@ -447,9 +478,9 @@ def main() -> int:
         sp_windowed_sps, sp_nopool_windowed_sps,
     ) = bench_selfplay_pool(jax, jnp)
     note(f"selfplay-pool done: {sp_sps/1e6:.2f}M sps; skull-ctde next")
-    skull_sps = bench_skull_ctde(jax, jnp)
+    skull_sps, skull_flops, skull_cost = bench_skull_ctde(jax, jnp)
     note(f"skull-ctde done: {skull_sps/1e6:.2f}M sps; bf16 variant next")
-    skull_bf16_sps = bench_skull_ctde(jax, jnp, compute_dtype="bfloat16")
+    skull_bf16_sps, _, _ = bench_skull_ctde(jax, jnp, compute_dtype="bfloat16")
     note("all paths done")
 
     prev = previous_bench()
@@ -484,6 +515,11 @@ def main() -> int:
         "mfu_pct": round(100.0 * flops / (peak_tflops * 1e12), 3),
         "selfplay_achieved_tflops": round(sp_flops / 1e12, 3),
         "selfplay_mfu_pct": round(100.0 * sp_flops / (peak_tflops * 1e12), 3),
+        "skull_achieved_tflops": round(skull_flops / 1e12, 3),
+        "skull_ctde_mfu_pct": round(
+            100.0 * skull_flops / (peak_tflops * 1e12), 3
+        ),
+        **skull_cost,
         "peak_tflops_assumed": peak_tflops,
     }
     print(

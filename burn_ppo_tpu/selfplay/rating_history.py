@@ -359,21 +359,22 @@ class RatingHistory:
             axis=1,
         )
         uniq, inv = np.unique(rows, axis=0, return_inverse=True)
+        # Manual formatting, byte-identical to json.dumps with default
+        # separators (tests assert parity with the dict path): json.dumps
+        # itself measured 3x the cost of everything else at window scale.
+        qnames = [json.dumps(n) for n in active_names]
+        head = '{"current": ' + json.dumps(current) + ', "opponents": ['
         uniq_lines = []
-        for row in uniq:
-            lp = int(row[0])
+        for row in uniq.tolist():
+            lp = row[0]
             slots = row[1 : 1 + S]
             places = row[1 + S :]
-            opponents = [active_names[int(s)] for s in slots if s >= 0]
-            placements = [lp] + [int(p) for s, p in zip(slots, places) if s >= 0]
+            opp = ", ".join(qnames[s] for s in slots if s >= 0)
+            pl = ", ".join(
+                [str(lp)] + [str(p) for s, p in zip(slots, places) if s >= 0]
+            )
             uniq_lines.append(
-                json.dumps(
-                    {
-                        "current": current,
-                        "opponents": opponents,
-                        "placements": placements,
-                    }
-                )
+                f'{head}{opp}], "placements": [{pl}]}}'
             )
         with open(self.games_path, "a") as f:
             f.write("\n".join(uniq_lines[i] for i in inv.ravel()) + "\n")

@@ -607,11 +607,26 @@ class Trainer:
         root_key = jax.random.PRNGKey(self.seed)
         k_params, k_carry, k_update, k_seat = jax.random.split(root_key, 4)
 
-        params = self.network.init(k_params)
-        opt_state = self.tx.init(params)
-        carry = init_rollout_carry(self.env, self.num_envs, k_carry)
-        obs_norm = ObsNormState.create(self.env.spec.obs_dim) if cfg.normalize_obs else None
-        popart = PopArtState.create() if cfg.normalize_values else None
+        # ONE jitted program builds the whole fresh state: run eagerly,
+        # the per-layer orthogonal inits (qr/normal/threefry) and every
+        # distinctly-shaped zeros() each mint their own tiny executable —
+        # ~40 compiles that cost ~0.5-1.5s EACH through a tunneled
+        # device's compile endpoint, re-paid by every supervisor child.
+        def _fresh_state(kp, kc):
+            params = self.network.init(kp)
+            return (
+                params,
+                self.tx.init(params),
+                init_rollout_carry(self.env, self.num_envs, kc),
+                ObsNormState.create(self.env.spec.obs_dim)
+                if cfg.normalize_obs
+                else None,
+                PopArtState.create() if cfg.normalize_values else None,
+            )
+
+        params, opt_state, carry, obs_norm, popart = jax.jit(_fresh_state)(
+            k_params, k_carry
+        )
 
         self.global_step = 0
         self.best_avg_return = float("-inf")
@@ -711,6 +726,10 @@ class Trainer:
             )
         self.profile_phases = profile_phases  # pool path stays fused
         self._phase_times: Dict[str, float] = {}
+        # Wall-clock of host-side work between device windows (rotation
+        # re-stack, record fetch+fold, checkpoint sub-phases) — the
+        # series that localizes inter-window stalls on tunneled devices.
+        self._perf_extra: Dict[str, float] = {}
         self._per_update_time: Optional[float] = None
         if profile_phases:
             # Diagnostic mode: rollout / GAE / update as separate jitted
@@ -795,10 +814,14 @@ class Trainer:
                 ),
             )
             self.rating_history = RatingHistory.load(self.run_dir)
-            self.seating = PoolSeating.create(
-                self.num_envs, self.num_learner_envs, self.num_players,
-                num_slots=1, key=k_seat,
-            )
+            # jit: eager create mints several tiny executables (randint/
+            # iota/where), each a tunnel compile round trip.
+            self.seating = jax.jit(
+                lambda k: PoolSeating.create(
+                    self.num_envs, self.num_learner_envs, self.num_players,
+                    num_slots=1, key=k,
+                )
+            )(k_seat)
             # Commit seating onto its steady-state placement now (env-
             # indexed leaves sharded over 'data' — what the pool-window
             # jit outputs): the first window would otherwise see
@@ -964,7 +987,9 @@ class Trainer:
             normalize_values=self.cfg.normalize_values,
             exploitability_vs_pool=exploitability,
         )
+        t_save0 = time.time()
         path = self.ckpt.save(self.global_step, state.params, state.opt_state, aux, meta)
+        self._perf_extra["perf/checkpoint_save_time"] = time.time() - t_save0
 
         if self.num_players == 1:
             # Single-player best = avg-return-driven (main.rs:659, 1276).
@@ -979,8 +1004,12 @@ class Trainer:
             # read + per-leaf upload (a multi-second cost per new
             # checkpoint through a remote device).
             self.pool.seed_device_cache(name, state.params, state.obs_norm)
+            t_rate0 = time.time()
             self.rating_history.on_checkpoint_saved(name, self.global_step)
             snap = self.rating_history.compute()
+            self._perf_extra["perf/checkpoint_rating_time"] = (
+                time.time() - t_rate0
+            )
             self._last_elo = {
                 "train/current_elo": snap.current_elo,
                 "train/best_elo": snap.best_elo,
@@ -991,6 +1020,7 @@ class Trainer:
             # Rating-driven best symlink for multiplayer (main.rs:1348-1353).
             if snap.total_games > 0 and self.ckpt.step_dir(snap.best_step).exists():
                 self.ckpt.set_best(snap.best_step)
+            t_graph0 = time.time()
             self.rating_history.generate_graph(self.run_dir / "elo_graph.png")
             # Per-checkpoint graph + run-root symlink to the newest one
             # (reference opponent_pool.rs:741-891 writes/links the same).
@@ -1007,6 +1037,9 @@ class Trainer:
                         / "selection_probability.png"
                     ),
                 )
+            self._perf_extra["perf/checkpoint_graph_time"] = (
+                time.time() - t_graph0
+            )
         return path
 
     def _best_ckpt_name(self) -> Optional[str]:
@@ -1153,9 +1186,12 @@ class Trainer:
         # the live leaves' committed shardings or the warm entry is a
         # cache miss and the first real window still compiles inline.
         def zeros_like_tree(t):
+            # np.zeros, not jnp.zeros: eager jnp.zeros compiles one tiny
+            # broadcast executable PER SHAPE through the tunnel's compile
+            # endpoint; device_put of a host buffer never compiles.
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(
-                    jnp.zeros(x.shape, x.dtype), x.sharding
+                    np.zeros(x.shape, x.dtype), x.sharding
                 ),
                 t,
             )
@@ -1391,11 +1427,16 @@ class Trainer:
                 # window recompiles (slot sampling is bounded by the
                 # traced active count, so padded slots are never seated).
                 pad_slots = max(self.cfg.max_active_opponents, 1)
+                t_rot0 = time.time()
                 rotation = (
                     self.pool.refresh_rotation(pad_to=pad_slots)
                     if self.pool
                     else None
                 )
+                if rotation is not None:
+                    self._perf_extra["perf/pool_rotation_time"] = (
+                        time.time() - t_rot0
+                    )
                 if rotation is not None:
                     opp_params, opp_norm, active_names = rotation
                     if cfg.debug_opponents and not self.quiet:
@@ -1445,6 +1486,7 @@ class Trainer:
                             cap=1,
                         )
                     lrs, ecs, scs, lr_last, ec_last = schedule_arrays(k)
+                    t_win0 = time.time()
                     window_fn = self._get_pool_window(pad_slots, k)
                     _pool_out = window_fn(
                         self.state, self.seating, opp_params, opp_norm,
@@ -1480,11 +1522,18 @@ class Trainer:
                     )
                     rec = fetched["rec"]
                     metrics = fetched["metrics"]
+                    self._perf_extra["perf/pool_window_time"] = (
+                        time.time() - t_win0
+                    )
                     rows = np.asarray(
                         rec["rows"][: int(rec["count"])], np.int32
                     )
+                    t_rec0 = time.time()
                     self._apply_pool_records(rows, active_names)
                     self.pool.apply_pending_updates()
+                    self._perf_extra["perf/pool_record_time"] = (
+                        time.time() - t_rec0
+                    )
                     self.tracker.ingest(fetched["stats"])
                     if self._phase_times:
                         # The pool path preempts the phase-timed
@@ -1739,6 +1788,25 @@ class Trainer:
         log("perf/sps", sps, step)
         for name, value in self._phase_times.items():
             log(name, value, step)
+        for name, value in self._perf_extra.items():
+            log(name, value, step)
+        self._perf_extra = {}
+        # Host RSS (the reference logs allocator net bytes,
+        # main.rs:675-681; long-run soaks watch this series for host-side
+        # leaks in pool/rating bookkeeping).
+        try:
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            import resource
+
+            log("perf/host_rss_mb", rss_pages * 4096 / 2**20, step)
+            log(
+                "perf/host_rss_peak_mb",
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0,
+                step,
+            )
+        except Exception:
+            pass
         # Device memory (heap-profiling analog of the reference's
         # stats_alloc net-bytes logging, main.rs:675-681).
         try:

@@ -36,8 +36,19 @@ def register(run_dir: Path, tag: str, which: str = "latest") -> Path:
     from burn_ppo_tpu.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(run_dir)
-    src = mgr.resolve(which)
-    assert src is not None, f"no '{which}' checkpoint under {run_dir}"
+    if which == "mid":
+        # Mid-run snapshot: a 4-player gauntlet pod needs >= 4
+        # contestants, so each round registers final/best/mid.
+        steps = mgr.list_steps()
+        assert steps, f"no checkpoints under {run_dir}"
+        src = mgr.step_dir(steps[len(steps) // 2])
+    elif which.startswith("step_"):
+        src = Path(run_dir) / "checkpoints" / which
+    else:
+        src = mgr.resolve(which)
+    assert src is not None and Path(src).exists(), (
+        f"no '{which}' checkpoint under {run_dir}"
+    )
     meta = CheckpointManager.load_metadata(src)
     env = meta["env_name"]
     dst = GAUNTLET / env / tag
@@ -105,7 +116,8 @@ def main() -> int:
     p = sub.add_parser("register")
     p.add_argument("run_dir", type=Path)
     p.add_argument("--tag", required=True)
-    p.add_argument("--which", default="latest", choices=["latest", "best"])
+    p.add_argument("--which", default="latest",
+                   help="latest | best | mid | step_<N>")
     p = sub.add_parser("rate")
     p.add_argument("env", nargs="?")
     p.add_argument("--all", action="store_true")
