@@ -436,25 +436,13 @@ def bench_skull_ctde(jax, jnp, compute_dtype=None):
     )
     flops_per_step = fwd * (1 + 3 * cfg.num_epochs)
 
-    # XLA's own cost model for the compiled step (roofline evidence:
-    # analytic FLOPs vs compiler FLOPs vs bytes moved).
-    cost = {}
-    try:
-        comp = jax.jit(lambda s: run_iters(s, 1)).lower(st).compile()
-        ca = comp.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca:
-            cost = {
-                "xla_gflops_per_envstep": round(
-                    float(ca.get("flops", 0.0)) / (E * T) / 1e9, 6
-                ),
-                "xla_bytes_per_envstep": round(
-                    float(ca.get("bytes accessed", 0.0)) / (E * T), 1
-                ),
-            }
-    except Exception:
-        pass
-    return sps, sps * flops_per_step, cost
+    # NOTE: XLA's compiled cost_analysis() was evaluated here and
+    # dropped — it counts a while/scan body ONCE, not trip-count times,
+    # so for a T-step rollout + epoch-loop program it under-reports
+    # FLOPs ~4x and would read as fake MFU. The analytic count above is
+    # the honest one; hardware per-op truth comes from
+    # scripts/profile_skull.py traces.
+    return sps, sps * flops_per_step, {}
 
 
 def main() -> int:

@@ -10,8 +10,12 @@ sampled steps. Nondeterminism is injected so both engines see the same
 world: the Skull discard choice goes through forced_discard, Liar's
 Dice rolls are read from the JAX env and handed to the oracle.
 
+Connect Four is covered too (connect_four.rs:249-310; deterministic, no
+injection needed) — its obs compares through the oracle's channels-last
+view of the reference layout, the repo's one documented obs deviation.
+
 Game count: ORACLE_GAMES env var (total across configs) — default 10240
-(~8k Skull over 4 player counts + 2k Liar's Dice).
+(~8k Skull over 4 player counts + 2k Liar's Dice + 2k Connect Four).
 """
 
 import os
@@ -183,6 +187,69 @@ def run_liars_dice(n_games, seed):
                     active[g] = False
                     finished += 1
     return finished
+
+
+def run_connect_four(n_games, seed):
+    from burn_ppo_tpu.envs.connect_four import ConnectFour
+    from tests.oracles.connect_four_oracle import ConnectFourOracle
+
+    env = ConnectFour()
+    step_j, obs_j, mask_j, _, outcome_j = (
+        jax.jit(jax.vmap(env.step)),
+        jax.jit(jax.vmap(env.obs)),
+        jax.jit(jax.vmap(env.action_mask)),
+        None,
+        jax.jit(jax.vmap(env.game_outcome)),
+    )
+    rng = np.random.default_rng(seed)
+    finished = 0
+    for batch_start in range(0, n_games, BATCH):
+        B = min(BATCH, n_games - batch_start)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B) + seed)
+        state = jax.vmap(env.reset)(keys)
+        oracles = [ConnectFourOracle() for _ in range(B)]
+        active = np.ones(B, bool)
+        step = 0
+        while active.any():
+            step += 1
+            assert step <= 43, "connect four game too long"
+            mask = np.asarray(mask_j(state))
+            current = np.asarray(state.current)
+            obs = np.asarray(obs_j(state)) if step % 2 == 1 else None
+            actions = np.zeros(B, np.int32)
+            for g in np.nonzero(active)[0]:
+                o = oracles[g]
+                assert current[g] == o.current, (g, step)
+                om = np.asarray(o.action_mask())
+                assert (mask[g] == om).all(), (g, step)
+                if obs is not None:
+                    # The repo stores the board channels-last (documented
+                    # deviation, docs/DESIGN.md) — the oracle provides the
+                    # permuted view of its reference-layout obs.
+                    _diff(g, step, "obs", obs[g], o.observation_channels_last())
+                actions[g] = rng.choice(np.nonzero(om)[0])
+            state = step_j(state, jnp.asarray(actions))
+            rewards = np.asarray(state.rewards)
+            done = np.asarray(state.done)
+            outcomes = None
+            for g in np.nonzero(active)[0]:
+                orw, odone = oracles[g].step(int(actions[g]))
+                _diff(g, step, "rewards", rewards[g], orw)
+                assert bool(done[g]) == odone, (g, step)
+                if odone:
+                    if outcomes is None:
+                        outcomes = np.asarray(outcome_j(state))
+                    assert (
+                        outcomes[g] == np.asarray(oracles[g].placements())
+                    ).all(), f"game {g}: placements diverged"
+                    active[g] = False
+                    finished += 1
+    return finished
+
+
+def test_connect_four_matches_oracle():
+    finished = run_connect_four(LD_GAMES, seed=17)
+    assert finished == LD_GAMES
 
 
 @pytest.mark.parametrize("num_players", [2, 3, 4, 6])
