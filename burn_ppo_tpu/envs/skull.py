@@ -75,7 +75,17 @@ class SkullState(struct.PyTreeNode):
     has_trap: jax.Array  # bool[6]
     rose_count: jax.Array  # i32[6]
     wins: jax.Array  # i32[6]
-    stack: jax.Array  # i32[6, 4]
+    # Stack contents are FLAT [MAXP*CARDS] (player*CARDS + pos): a
+    # (6, 4)-shaped int array occupies one (8, 128) TPU tile with 24 of
+    # 1024 lanes live, and a hardware trace showed every op touching it
+    # (count reduces, the reveal read, auto-reset selects) running at
+    # ~2-3 GB/s — together ~20% of flagship device time. The per-player
+    # skull/rose counts that mask/obs need every step are maintained
+    # INCREMENTALLY (place adds, round reset zeros; reveals don't change
+    # contents), so nothing reduces over the contents array anymore.
+    stack: jax.Array  # i32[24] flat
+    skulls_in: jax.Array  # i32[6] skulls placed this round, per player
+    roses_in: jax.Array  # i32[6] roses placed this round, per player
     stack_len: jax.Array  # i32[6]
     passed: jax.Array  # bool[6]
     phase: jax.Array  # i32: 0 placing, 1 bidding, 2 revealing
@@ -147,12 +157,10 @@ class Skull(Environment):
         return jnp.any(ok_all), self._first_clockwise(ok_all, frm)
 
     def _skulls_in_stack(self, s: SkullState) -> jax.Array:
-        live = jnp.arange(CARDS)[None, :] < s.stack_len[:, None]
-        return jnp.sum(((s.stack == SKULL_C) & live).astype(jnp.int32), axis=1)
+        return s.skulls_in  # incrementally maintained (see SkullState)
 
     def _roses_in_stack(self, s: SkullState) -> jax.Array:
-        live = jnp.arange(CARDS)[None, :] < s.stack_len[:, None]
-        return jnp.sum(((s.stack == ROSE_C) & live).astype(jnp.int32), axis=1)
+        return s.roses_in
 
     # -- lifecycle --------------------------------------------------------
     def reset(self, key: jax.Array) -> SkullState:
@@ -161,7 +169,9 @@ class Skull(Environment):
             has_trap=exists,
             rose_count=jnp.where(exists, ROSES, 0).astype(jnp.int32),
             wins=jnp.zeros((MAXP,), jnp.int32),
-            stack=jnp.zeros((MAXP, CARDS), jnp.int32),
+            stack=jnp.zeros((MAXP * CARDS,), jnp.int32),
+            skulls_in=jnp.zeros((MAXP,), jnp.int32),
+            roses_in=jnp.zeros((MAXP,), jnp.int32),
             stack_len=jnp.zeros((MAXP,), jnp.int32),
             passed=jnp.zeros((MAXP,), jnp.bool_),
             phase=jnp.zeros((), jnp.int32),
@@ -221,7 +231,9 @@ class Skull(Environment):
             _read(alive, starter, MAXP), starter, self._next_alive(s, starter)
         ).astype(jnp.int32)
         return s.replace(
-            stack=jnp.zeros((MAXP, CARDS), jnp.int32),
+            stack=jnp.zeros((MAXP * CARDS,), jnp.int32),
+            skulls_in=jnp.zeros((MAXP,), jnp.int32),
+            roses_in=jnp.zeros((MAXP,), jnp.int32),
             stack_len=jnp.zeros((MAXP,), jnp.int32),
             passed=jnp.zeros((MAXP,), jnp.bool_),
             revealed=jnp.zeros((MAXP,), jnp.int32),
@@ -297,10 +309,15 @@ class Skull(Environment):
             def place(s):
                 oh_cur = _oh(cur, MAXP)
                 len_cur = _read(s.stack_len, cur, MAXP)
-                cell = oh_cur[:, None] & (jnp.arange(CARDS)[None, :] == len_cur)
+                cell = jnp.arange(MAXP * CARDS) == cur * CARDS + len_cur
+                is_skull_card = card == SKULL_C
                 s = s.replace(
                     stack=jnp.where(cell, card, s.stack),
                     stack_len=s.stack_len + oh_cur.astype(jnp.int32),
+                    skulls_in=s.skulls_in
+                    + (oh_cur & is_skull_card).astype(jnp.int32),
+                    roses_in=s.roses_in
+                    + (oh_cur & ~is_skull_card).astype(jnp.int32),
                 )
                 return s.replace(current=self._next_alive(s, cur))
 
@@ -365,10 +382,10 @@ class Skull(Environment):
             card_idx = _read(s.stack_len, target, MAXP) - 1 - _read(
                 s.revealed, target, MAXP
             )
-            cell = oh_t[:, None] & (
-                jnp.arange(CARDS)[None, :] == jnp.clip(card_idx, 0, CARDS - 1)
+            flat_idx = target * CARDS + jnp.clip(card_idx, 0, CARDS - 1)
+            card = jnp.sum(
+                jnp.where(jnp.arange(MAXP * CARDS) == flat_idx, s.stack, 0)
             )
-            card = jnp.sum(jnp.where(cell, s.stack, 0))
             is_skull = card == SKULL_C
             s = s.replace(
                 revealed=s.revealed + oh_t.astype(jnp.int32),
@@ -519,7 +536,6 @@ class Skull(Environment):
 
         skulls_in = self._skulls_in_stack(s)
         roses_in = self._roses_in_stack(s)
-        oh_cur = _oh(cur, MAXP)
         has_trap_hand = _read(s.has_trap, cur, MAXP) & (
             _read(skulls_in, cur, MAXP) == 0
         )
@@ -535,11 +551,18 @@ class Skull(Environment):
                 (jnp.arange(ROSES) < roses_hand).astype(jnp.float32),
             ]
         )
-        stack_cur = jnp.sum(
-            jnp.where(oh_cur[:, None], s.stack, 0), axis=0
-        )  # [CARDS]
+        # Own stack from the flat [24] layout: mask to the current
+        # player's 4 slots, fold onto positions with a constant [24, 4]
+        # position-selector contraction (no (6,4)-shaped intermediate).
+        mine = jnp.arange(MAXP * CARDS) // CARDS == cur
+        masked = jnp.where(mine, s.stack, 0).astype(jnp.float32)  # [24]
+        pos_sel = (
+            jnp.arange(MAXP * CARDS)[:, None] % CARDS
+            == jnp.arange(CARDS)[None, :]
+        ).astype(jnp.float32)  # [24, 4] constant
+        stack_cur = masked @ pos_sel  # [CARDS]
         own_stack = (
-            (stack_cur == SKULL_C)
+            (stack_cur == float(SKULL_C))
             & (jnp.arange(CARDS) < _read(s.stack_len, cur, MAXP))
         ).astype(jnp.float32)
 
@@ -744,9 +767,10 @@ class Skull(Environment):
                 f"Stack: {int(s.revealed[p])}/{int(s.stack_len[p])} revealed{passed}"
             )
             if p == int(s.current) and int(s.stack_len[p]) > 0:
+                grid = np.asarray(s.stack).reshape(MAXP, CARDS)
                 cards = "".join(
                     "S" if int(c) == SKULL_C else "R"
-                    for c in np.asarray(s.stack[p])[: int(s.stack_len[p])]
+                    for c in grid[p][: int(s.stack_len[p])]
                 )
                 lines.append(f"   Stack contents: [{cards}]")
         if bool(s.game_over) and int(s.winner) >= 0:

@@ -30,6 +30,7 @@ from burn_ppo_tpu.checkpoint import CheckpointManager
 from burn_ppo_tpu.envs.skull import (
     A,
     BID_BASE,
+    CARDS,
     PASS,
     PLACE_ROSE,
     PLACE_SKULL,
@@ -132,7 +133,7 @@ class InteractiveApp:
             show = (not sess.hide_private_info) or p == sess.ai_seat
             cards = []
             for i in range(stack_len):
-                card = int(s.stack[p][i])
+                card = int(s.stack[p * CARDS + i])
                 top_rev = i >= stack_len - revealed
                 cards.append(
                     ("S" if card == SKULL_C else "R") if (show or top_rev) else "?"
@@ -183,7 +184,7 @@ class InteractiveApp:
         if int(s.phase) == 2 and action >= REVEAL_BASE:
             target = action - REVEAL_BASE
             idx = int(s.stack_len[target]) - 1 - int(s.revealed[target])
-            if idx >= 0 and int(s.stack[target][idx]) == SKULL_C:
+            if idx >= 0 and int(s.stack[target * CARDS + idx]) == SKULL_C:
                 sess.pending_discard = {
                     "action": action,
                     "bidder": int(s.current_bidder),

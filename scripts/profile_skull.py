@@ -53,7 +53,10 @@ def main() -> int:
     print(f"[profile] tools available: {tools}", flush=True)
 
     out = {}
-    for tool in ("overview_page", "framework_op_stats", "op_profile"):
+    for tool in (
+        "overview_page", "framework_op_stats", "op_profile", "hlo_stats",
+        "roofline_model",
+    ):
         if tool not in tools and f"{tool}^" not in tools:
             continue
         try:
@@ -61,24 +64,6 @@ def main() -> int:
             out[tool] = data
         except Exception as e:  # noqa: BLE001
             print(f"[profile] {tool} failed: {e}")
-
-    summary_path = trace_dir / "summary.json"
-
-    report = {}
-    if "framework_op_stats" in out:
-        data = out["framework_op_stats"]
-        if isinstance(data, (bytes, str)):
-            try:
-                stats = json.loads(data)
-            except Exception:
-                stats = None
-        else:
-            stats = data
-        report["framework_op_stats_raw"] = True
-        # Emit the raw table head for manual digestion if json parse fails
-        if stats is None and isinstance(data, (bytes, str)):
-            txt = data.decode() if isinstance(data, bytes) else data
-            (trace_dir / "framework_op_stats.csv").write_text(txt)
 
     for tool, data in out.items():
         p = trace_dir / f"{tool}.out"
@@ -88,9 +73,108 @@ def main() -> int:
             p.write_text(data if isinstance(data, str) else json.dumps(data))
         print(f"[profile] wrote {p}")
 
-    summary_path.write_text(json.dumps(report, indent=2))
+    _summarize(out)
     print(f"[profile] sps={sps/1e6:.2f}M analytic_tflops={flops/1e12:.2f}")
     return 0
+
+
+def _rows_from_gviz(data):
+    """gviz-style {'cols': [...], 'rows': [{'c': [{'v': ...}]}]} or a
+    plain list of dicts -> (headers, rows)."""
+    if isinstance(data, (bytes, str)):
+        try:
+            data = json.loads(data)
+        except Exception:
+            return None, None
+    if isinstance(data, dict) and "cols" in data and "rows" in data:
+        headers = [c.get("label") or c.get("id") for c in data["cols"]]
+        rows = [
+            [None if c is None else c.get("v") for c in r.get("c", [])]
+            for r in data["rows"]
+        ]
+        return headers, rows
+    if isinstance(data, list) and data and isinstance(data[0], dict):
+        headers = list(data[0])
+        return headers, [[r.get(h) for h in headers] for r in data]
+    return None, None
+
+
+def _summarize(out) -> None:
+    """Top-ops table + device duty cycle from whatever tools returned."""
+    for tool in ("hlo_stats", "framework_op_stats"):
+        headers, rows = _rows_from_gviz(out.get(tool))
+        if not headers or not rows:
+            continue
+        # Rank by SELF time — total time makes the outer `while` (the
+        # whole fused program) rank first and hides everything else.
+        time_cols = [
+            i for i, h in enumerate(headers)
+            if h and "time" in str(h).lower() and "%" not in str(h)
+        ]
+        if not time_cols:
+            continue
+        tc = next(
+            (i for i in time_cols if "self" in str(headers[i]).lower()
+             and "avg" not in str(headers[i]).lower()),
+            time_cols[0],
+        )
+        num = [r for r in rows if isinstance(r[tc], (int, float))]
+        total = sum(r[tc] for r in num) or 1.0
+        ranked = sorted(num, key=lambda r: -r[tc])[:10]
+        print(f"\n[profile] top-10 by {headers[tc]} ({tool}):")
+        name_col = next(
+            (i for i, h in enumerate(headers)
+             if h and "name" in str(h).lower()),
+            next(
+                (i for i, h in enumerate(headers)
+                 if h and "op" in str(h).lower()),
+                0,
+            ),
+        )
+        cat_col = next(
+            (i for i, h in enumerate(headers)
+             if h and "category" in str(h).lower()),
+            None,
+        )
+        for r in ranked:
+            cat = f" [{r[cat_col]}]" if cat_col is not None else ""
+            print(
+                f"  {100 * r[tc] / total:5.1f}% {r[tc]:>12}"
+                f" {str(r[name_col])[:70]}{cat}"
+            )
+        # Category rollup + trace-measured achieved FLOP rate.
+        ix = {str(h): i for i, h in enumerate(headers)}
+        gcol = ix.get("Model GFLOP/s")
+        ccol = ix.get("HLO op category")
+        if gcol is not None:
+            gflop = sum(
+                r[tc] * 1e-6 * float(r[gcol] or 0)
+                for r in num if r[gcol] is not None
+            )
+            print(
+                f"[profile] trace achieved rate over busy time: "
+                f"{gflop / (total * 1e-6) / 1e3:.1f} TFLOP/s"
+            )
+        if ccol is not None:
+            cats = {}
+            for r in num:
+                cats[r[ccol]] = cats.get(r[ccol], 0.0) + r[tc]
+            print("[profile] by category:")
+            for c, t in sorted(cats.items(), key=lambda kv: -kv[1])[:8]:
+                print(f"  {100 * t / total:5.1f}% {t / 1e3:9.1f}ms {c}")
+        break
+    ov = out.get("overview_page")
+    if isinstance(ov, (bytes, str)):
+        try:
+            ov = json.loads(ov)
+        except Exception:
+            ov = None
+    if isinstance(ov, dict):
+        flat = json.dumps(ov)
+        for key in ("flop_rate_utilization", "mxu_utilization",
+                    "device_duty_cycle", "idle"):
+            if key in flat:
+                print(f"[profile] overview contains '{key}'")
 
 
 if __name__ == "__main__":

@@ -243,7 +243,7 @@ def test_failed_challenge_loses_coaster_and_skull_owner_starts(env):
     bidder = int(s.current_bidder)
     coasters_before = int(env._coasters(s)[bidder])
     s = env.step(s, jnp.asarray(REVEAL_BASE + bidder))  # own card
-    if int(s.stack_len[bidder]) and int(s.stack[bidder, 0]) == SKULL_C:
+    if int(s.stack_len[bidder]) and int(s.stack[bidder * 4]) == SKULL_C:
         # new round started; bidder lost one coaster
         assert int(env._coasters(s)[bidder]) == coasters_before - 1
         assert int(s.phase) == 0
