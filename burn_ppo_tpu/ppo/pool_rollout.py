@@ -46,7 +46,11 @@ from burn_ppo_tpu.ppo.normalization import (
     return_norm_finalize,
     return_norm_roll,
 )
-from burn_ppo_tpu.ppo.rollout import RolloutBatch, RolloutCarry
+from burn_ppo_tpu.ppo.rollout import (
+    RolloutBatch,
+    RolloutCarry,
+    blocked_scan,
+)
 
 
 class PoolSeating(struct.PyTreeNode):
@@ -266,8 +270,8 @@ def collect_rollouts_with_opponents(
         )
         return (new_carry, new_seat_state), (out, step_log, samples)
 
-    (carry_out, seat_out), (batch, logs, samples) = jax.lax.scan(
-        step_fn, (carry, seating), None, length=num_steps
+    (carry_out, seat_out), (batch, logs, samples) = blocked_scan(
+        step_fn, (carry, seating), num_steps
     )
     if normalize_returns:
         # Reference pool semantics (ppo.rs:952-996): variance stats fold
