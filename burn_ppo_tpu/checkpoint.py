@@ -498,11 +498,11 @@ class CheckpointManager:
 
         if CheckpointManager.is_reference_checkpoint(ckpt_dir):
             # Reference checkpoints signal the normalizer by the file's
-            # presence (normalizer.json, checkpoint.rs:428-439).
-            from burn_ppo_tpu.interop import load_reference_checkpoint
+            # presence (normalizer.json, checkpoint.rs:428-439); read it
+            # directly rather than msgpack-decoding the whole model.mpk.
+            from burn_ppo_tpu.interop import load_reference_obs_norm
 
-            _n, _p, obs_norm, _m = load_reference_checkpoint(ckpt_dir)
-            return obs_norm
+            return load_reference_obs_norm(ckpt_dir)
         meta = CheckpointManager.load_metadata(ckpt_dir)
         if not meta.get("normalize_obs"):
             return None

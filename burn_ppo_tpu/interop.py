@@ -171,6 +171,27 @@ def _leaf_tensor(node: Dict) -> Optional[np.ndarray]:
             return None
     else:
         return None
+    expected = int(np.prod(shape)) if shape else 1
+    itemsize = np.dtype(dtype).itemsize
+    if (
+        arr.size == expected * itemsize
+        and itemsize > 1
+        and arr.size != expected
+        and np.all((arr >= 0) & (arr <= 255))
+        and np.all(arr == np.floor(arr))
+    ):
+        # rmp-serde encodes Vec<u8> without serde_bytes as a msgpack int
+        # array: the list branch then holds RAW BYTES as numbers.
+        # Reinterpret instead of misloading (count cross-check below
+        # would otherwise reject f32 loudly but misload 1-byte dtypes).
+        raw = np.asarray(arr, dtype=np.uint8).tobytes()
+        arr = np.frombuffer(raw, dtype=dtype)
+    if arr.size != expected:
+        raise ValueError(
+            f"Burn tensor leaf element count {arr.size} does not match "
+            f"shape {shape} (expected {expected}, dtype {np.dtype(dtype).name})"
+            " — unrecognized leaf encoding, refusing to misload"
+        )
     return arr.reshape(shape).astype(np.float32)
 
 
@@ -373,13 +394,24 @@ def load_reference_checkpoint(ckpt_dir: str | Path):
             )
     params = jax.tree_util.tree_map(jnp.asarray, params_np)
 
-    obs_norm = None
-    norm_path = ckpt_dir / "normalizer.json"
-    if norm_path.exists():
-        nj = json.loads(norm_path.read_text())
-        obs_norm = ObsNormState(
-            mean=jnp.asarray(nj["mean"], jnp.float32),
-            m2=jnp.asarray(nj["var"], jnp.float32),  # M2 (normalization.rs:28)
-            count=jnp.asarray(nj["count"], jnp.float32),
-        )
-    return network, params, obs_norm, meta
+    return network, params, load_reference_obs_norm(ckpt_dir), meta
+
+
+def load_reference_obs_norm(ckpt_dir: str | Path):
+    """Obs normalizer from a reference checkpoint's ``normalizer.json``
+    alone (presence signals normalize_obs, checkpoint.rs:428-439) — the
+    cheap path for callers that don't need the model decoded (the full
+    model.mpk msgpack walk is ~1000x the work of this one JSON read)."""
+    import jax.numpy as jnp
+
+    from burn_ppo_tpu.ppo.normalization import ObsNormState
+
+    norm_path = Path(ckpt_dir) / "normalizer.json"
+    if not norm_path.exists():
+        return None
+    nj = json.loads(norm_path.read_text())
+    return ObsNormState(
+        mean=jnp.asarray(nj["mean"], jnp.float32),
+        m2=jnp.asarray(nj["var"], jnp.float32),  # M2 (normalization.rs:28)
+        count=jnp.asarray(nj["count"], jnp.float32),
+    )

@@ -48,10 +48,26 @@ from burn_ppo_tpu.ppo.normalization import (
 )
 
 
-def blocked_scan(step_fn, carry, num_steps: int, block: int = 8):
+def default_scan_block() -> int:
+    """Platform-aware default for `blocked_scan`'s block size.
+
+    The 8x unroll is a pure TPU-tiling optimization (full-sublane ys
+    writes); XLA:CPU gains nothing from it and pays a ~20x compile-time
+    blowup on the unrolled scan body (2+ minutes per jit_window, enough
+    to time out the 8-device dryrun and inflate single test files from
+    seconds to minutes). Block only on real TPU backends.
+    """
+    try:
+        return 8 if jax.default_backend() == "tpu" else 1
+    except RuntimeError:
+        return 1
+
+
+def blocked_scan(step_fn, carry, num_steps: int, block: Optional[int] = None):
     """`lax.scan(step_fn, carry, None, length=num_steps)`, executed in
     unrolled blocks of up to 8 steps whose outputs stack to [B, ...]
-    before the scan's ys write.
+    before the scan's ys write.  ``block=None`` resolves via
+    `default_scan_block()` — 8 on TPU, 1 (plain `lax.scan`) elsewhere.
 
     Why: a per-step ys write of [1, E, C] into the stacked [T, E, C]
     buffer lands on one of 8 sublanes of the buffer's (8, 128) TPU tile
@@ -66,9 +82,15 @@ def blocked_scan(step_fn, carry, num_steps: int, block: int = 8):
     collapses — measured 15x slower on the connect-four path.)
 
     Output leaves merge back to [T, ...], so callers see the exact
-    stacked-ys structure `lax.scan` would have produced; the step order,
-    RNG consumption, and values are bit-identical.
+    stacked-ys structure `lax.scan` would have produced; the step order
+    and RNG consumption are bit-identical.  Values are semantically
+    identical but may differ at the ~1-ulp level from the block=1 form:
+    XLA is free to contract mul+add chains that span the unrolled steps
+    into FMAs with different rounding (observed ~2e-5 relative on the
+    CPU return-normalizer chain; tests/test_blocked_scan.py).
     """
+    if block is None:
+        block = default_scan_block()
     while block > 1 and num_steps % block:
         block //= 2
 

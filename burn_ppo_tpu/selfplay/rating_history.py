@@ -110,27 +110,30 @@ class RatingHistory:
     # ------------------------------------------------------------------
     @staticmethod
     def load(run_dir: str | Path) -> "RatingHistory":
+        h = RatingHistory._load_attempt(run_dir, use_cache=True)
+        if h is None:
+            # jsonl shrank under the cache (e.g. a crash lost a tail
+            # write) — the cache's player indices no longer match the
+            # log.  Rebuild from scratch with the cache discarded, so the
+            # index space (cache players first, then metadata, then tail
+            # games) reassembles consistently.
+            h = RatingHistory._load_attempt(run_dir, use_cache=False)
+            assert h is not None
+        return h
+
+    @staticmethod
+    def _load_attempt(
+        run_dir: str | Path, use_cache: bool
+    ) -> Optional["RatingHistory"]:
+        """One streaming pass over the game log (it can be hundreds of MB
+        in the million-game regime — never read_text/splitlines it, and
+        don't stream it twice just to count lines: shrink detection
+        happens at EOF of the same tail-parse pass).  Returns None when
+        the log turns out shorter than the cache covers."""
         h = RatingHistory(run_dir)
-        cached_upto = h._load_cache()  # registers cached player indices
-        # The jsonl can be hundreds of MB in the million-game regime —
-        # stream it (never read_text/splitlines the whole log into RAM).
-        if cached_upto > 0:
-            num_lines = 0
-            if h.games_path.exists():
-                with open(h.games_path) as f:
-                    for line in f:
-                        if line.strip():
-                            num_lines += 1
-            if cached_upto > num_lines:
-                # jsonl shrank under the cache (e.g. a crash lost a tail
-                # write) — the cache's player indices no longer match the
-                # log.  Reset BEFORE metadata registration so the index
-                # space rebuilds consistently (a late reset would wipe
-                # the metadata-registered indices while
-                # first_checkpoint_idx kept pointing into the old
-                # numbering).
-                h._reset_cache()
-                cached_upto = 0
+        cached_upto = 0
+        if use_cache:
+            cached_upto = h._load_cache()  # registers cached player indices
         if h.metadata_path.exists():
             meta = json.loads(h.metadata_path.read_text())
             for name, step in meta.get("checkpoint_steps", {}).items():
@@ -146,8 +149,8 @@ class RatingHistory:
         # games so resident memory never scales with the log.
         h.num_games = cached_upto
         h._expanded_upto = cached_upto
+        seen = 0
         if h.games_path.exists():
-            seen = 0
             with open(h.games_path) as f:
                 for line in f:
                     if not line.strip():
@@ -164,6 +167,10 @@ class RatingHistory:
                     if len(h._pending) >= 200_000:
                         h._expand_pending()
                         h._compact_chunks()
+        if seen < cached_upto:
+            # Fewer log lines than the cache covers: shrink detected at
+            # EOF of the same pass (no separate counting stream).
+            return None
         # Metadata lost/incomplete but games survive: anchor the earliest
         # registered player (rating_history.rs:145-146). Without this the
         # next on_checkpoint_saved would anchor 1000 at the NEWEST

@@ -223,3 +223,70 @@ def test_mixed_dict_and_array_paths_keep_prefix_semantics(tmp_path):
     # Cold reload agrees.
     cold = RatingHistory.load(tmp_path)
     assert cold.compute().total_games == 7
+
+def test_shrunken_log_under_cache_rebuilds_from_log(tmp_path):
+    """A jsonl that lost a tail write (crash) while the comparison cache
+    covers more games must trigger a full cache-discarding rebuild —
+    detected at EOF of the single tail-parse pass, not via a separate
+    line-counting stream (ADVICE r4)."""
+    h = RatingHistory(tmp_path)
+    names = ["step_00000100", "step_00000200"]
+    for i, n in enumerate(names):
+        h.on_checkpoint_saved(n, (i + 1) * 100)
+    rng = np.random.default_rng(6)
+    N = 200
+    h.record_games_arrays(
+        names[-1],
+        names,
+        rng.integers(1, 3, size=N),
+        np.zeros((N, 1), np.int64),
+        rng.integers(1, 3, size=(N, 1)),
+    )
+    h.compute()
+    h._save_cache()
+    h._cache_saved_upto = h._expanded_upto
+    assert h.cache_path.exists()
+
+    # Truncate the log to 120 lines — fewer than the cache's 200.
+    log = tmp_path / "rating_games.jsonl"
+    lines = [l for l in log.read_text().splitlines() if l]
+    log.write_text("\n".join(lines[:120]) + "\n")
+
+    cold = RatingHistory.load(tmp_path)
+    assert cold.num_games == 120
+    snap = cold.compute()
+    assert snap.total_games == 120
+    # Ratings still computable and anchored.
+    assert np.isfinite(snap.current_elo)
+
+
+def test_intact_log_under_cache_loads_single_pass(tmp_path):
+    """Normal path: cache + intact log reload matches a cache-less cold
+    rebuild."""
+    h = RatingHistory(tmp_path)
+    names = ["step_00000100", "step_00000200"]
+    for i, n in enumerate(names):
+        h.on_checkpoint_saved(n, (i + 1) * 100)
+    rng = np.random.default_rng(7)
+    N = 150
+    h.record_games_arrays(
+        names[-1],
+        names,
+        rng.integers(1, 3, size=N),
+        np.zeros((N, 1), np.int64),
+        rng.integers(1, 3, size=(N, 1)),
+    )
+    h.compute()
+    h._save_cache()
+    h._cache_saved_upto = h._expanded_upto
+
+    with_cache = RatingHistory.load(tmp_path)
+    assert with_cache.num_games == N
+    s1 = with_cache.compute()
+
+    h.cache_path.unlink()
+    without_cache = RatingHistory.load(tmp_path)
+    assert without_cache.num_games == N
+    s2 = without_cache.compute()
+    assert abs(s1.current_elo - s2.current_elo) < 1e-2
+    assert s1.total_games == s2.total_games
