@@ -46,10 +46,12 @@ from burn_ppo_tpu.ppo.normalization import (
     return_norm_finalize,
     return_norm_roll,
 )
+import burn_ppo_tpu.ppo.rollout as _rollout
 from burn_ppo_tpu.ppo.rollout import (
     RolloutBatch,
     RolloutCarry,
     blocked_scan,
+    rollout_row_width,
 )
 
 
@@ -271,7 +273,10 @@ def collect_rollouts_with_opponents(
         return (new_carry, new_seat_state), (out, step_log, samples)
 
     (carry_out, seat_out), (batch, logs, samples) = blocked_scan(
-        step_fn, (carry, seating), num_steps
+        step_fn, (carry, seating), num_steps,
+        block=_rollout.default_scan_block(
+            rollout_row_width(env, True, collect_priv)
+        ),
     )
     if normalize_returns:
         # Reference pool semantics (ppo.rs:952-996): variance stats fold

@@ -48,19 +48,52 @@ from burn_ppo_tpu.ppo.normalization import (
 )
 
 
-def default_scan_block() -> int:
-    """Platform-aware default for `blocked_scan`'s block size.
+def default_scan_block(row_width: Optional[int] = None) -> int:
+    """Platform- and shape-aware default for `blocked_scan`'s block size.
 
     The 8x unroll is a pure TPU-tiling optimization (full-sublane ys
     writes); XLA:CPU gains nothing from it and pays a ~20x compile-time
     blowup on the unrolled scan body (2+ minutes per jit_window, enough
     to time out the 8-device dryrun and inflate single test files from
     seconds to minutes). Block only on real TPU backends.
+
+    ``row_width`` is the per-step ys feature width (floats per env per
+    step). The blocked write wins on WIDE rows — measured on v5e:
+    skull-CTDE (~375 floats) +15%, connect-four pool (~100) +8-9% —
+    but LOSES ~2.3% on narrow rows (cartpole, ~15 floats), where each
+    [1, E, C] write already covers whole tiles and the unroll only adds
+    scheduling overhead (scripts/ab_scan_block.py, r5). Width unknown ->
+    assume wide.
+
+    ``BURN_PPO_SCAN_BLOCK`` overrides everything (A/B and escape hatch;
+    resolved at trace time).
     """
+    import os
+
+    override = os.environ.get("BURN_PPO_SCAN_BLOCK")
+    if override:
+        return max(1, int(override))
     try:
-        return 8 if jax.default_backend() == "tpu" else 1
+        if jax.default_backend() != "tpu":
+            return 1
     except RuntimeError:
         return 1
+    if row_width is not None and row_width < 32:
+        return 1
+    return 8
+
+
+def rollout_row_width(env: Environment, collect_masks: bool,
+                      collect_priv: bool) -> int:
+    """Per-step RolloutBatch feature width (floats per env) — the shape
+    input to `default_scan_block`."""
+    spec = env.spec
+    width = spec.obs_dim + spec.num_players + 6  # scalars + all_rewards
+    if collect_masks:
+        width += spec.num_actions
+    if collect_priv and spec.privileged_obs_dim:
+        width += spec.privileged_obs_dim
+    return width
 
 
 def blocked_scan(step_fn, carry, num_steps: int, block: Optional[int] = None):
@@ -274,7 +307,10 @@ def collect_rollouts(
         return new_carry, (out, log, samples)
 
     carry_out, (batch, logs, samples) = blocked_scan(
-        step_fn, carry, num_steps
+        step_fn, carry, num_steps,
+        block=default_scan_block(
+            rollout_row_width(env, collect_masks, collect_priv)
+        ),
     )
     if normalize_returns:
         new_norm, normalized = return_norm_finalize(

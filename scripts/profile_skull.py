@@ -5,8 +5,10 @@ real TPU, then extracts the evidence docs/DESIGN.md's roofline claim
 needs: device duty cycle, top-10 ops by self time, and the profiler's
 FLOPS utilization — via xprof's xplane converters (no TensorBoard UI).
 
-Usage: python scripts/profile_skull.py [trace_dir]
+Usage: python scripts/profile_skull.py [trace_dir] [--bf16]
 Prints a markdown summary; leaves the raw trace under trace_dir.
+``--bf16`` traces the compute_dtype=bfloat16 variant (the r5 f32-vs-bf16
+roofline reconciliation, VERDICT r4 weak #3).
 """
 
 from __future__ import annotations
@@ -23,7 +25,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    trace_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/skull_trace")
+    args = [a for a in sys.argv[1:] if a != "--bf16"]
+    dtype = "bfloat16" if "--bf16" in sys.argv[1:] else None
+    trace_dir = Path(args[0] if args else "/tmp/skull_trace")
     trace_dir.mkdir(parents=True, exist_ok=True)
 
     os.environ.setdefault("BENCH_SKULL_NUM_ENVS", "4096")
@@ -32,12 +36,16 @@ def main() -> int:
 
     from bench import bench_skull_ctde  # noqa: E402 (repo-root import)
 
-    print(f"[profile] platform={jax.default_backend()}", flush=True)
+    print(
+        f"[profile] platform={jax.default_backend()}"
+        f" dtype={dtype or 'float32'}",
+        flush=True,
+    )
 
     # bench_skull_ctde compiles + warms; we re-run its timed body under
     # the profiler by tracing a fresh invocation (compile cache is warm).
     with jax.profiler.trace(str(trace_dir)):
-        sps, flops, _ = bench_skull_ctde(jax, jnp)
+        sps, flops, _ = bench_skull_ctde(jax, jnp, compute_dtype=dtype)
     print(f"[profile] traced: {sps/1e6:.2f}M sps", flush=True)
 
     xplanes = sorted(trace_dir.rglob("*.xplane.pb"))

@@ -122,6 +122,26 @@ def test_default_block_is_platform_gated():
     compile blowup (VERDICT r4: the red multichip dryrun)."""
     assert jax.default_backend() == "cpu"
     assert default_scan_block() == 1
+    assert default_scan_block(400) == 1  # platform gate beats width
+
+
+def test_default_block_env_override(monkeypatch):
+    monkeypatch.setenv("BURN_PPO_SCAN_BLOCK", "4")
+    assert default_scan_block() == 4
+    assert default_scan_block(8) == 4
+
+
+def test_rollout_row_width():
+    """Width drives the TPU wide-vs-narrow block choice: cartpole must
+    classify narrow (<32: block 1 on TPU), skull-CTDE wide (>=32)."""
+    from burn_ppo_tpu.ppo.rollout import rollout_row_width
+
+    cart = make_env("cartpole")
+    assert rollout_row_width(cart, True, False) < 32
+    c4 = make_env("connect_four")
+    assert rollout_row_width(c4, True, False) >= 32
+    skull = make_env("skull").with_num_players(4)
+    assert rollout_row_width(skull, True, True) >= 300
 
 
 @pytest.mark.parametrize("forced_block", [2, 8])
@@ -145,10 +165,10 @@ def test_selfplay_rollout_bit_identical_across_blocks(
             )
         )(params, carry0)
 
-    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda: 1)
+    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda *_: 1)
     ref = jax.device_get(run())
     monkeypatch.setattr(
-        rollout_mod, "default_scan_block", lambda: forced_block
+        rollout_mod, "default_scan_block", lambda *_: forced_block
     )
     got = jax.device_get(run())
     assert_trees_equiv(ref, got)
@@ -179,8 +199,8 @@ def test_pool_rollout_bit_identical_across_blocks(monkeypatch):
             )
         )(params, opp_params, carry0, seating0)
 
-    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda: 1)
+    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda *_: 1)
     ref = jax.device_get(run())
-    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda: 8)
+    monkeypatch.setattr(rollout_mod, "default_scan_block", lambda *_: 8)
     got = jax.device_get(run())
     assert_trees_equiv(ref, got)
