@@ -61,9 +61,13 @@ def main() -> int:
     print(f"[profile] tools available: {tools}", flush=True)
 
     out = {}
+    # hlo_stats first and every tool written to disk IMMEDIATELY after
+    # converting: the overview_page converter can hard-crash the process
+    # (not an exception — an abort), which must not lose the tools that
+    # already converted.
     for tool in (
-        "overview_page", "framework_op_stats", "op_profile", "hlo_stats",
-        "roofline_model",
+        "hlo_stats", "framework_op_stats", "op_profile", "roofline_model",
+        "overview_page",
     ):
         if tool not in tools and f"{tool}^" not in tools:
             continue
@@ -72,14 +76,13 @@ def main() -> int:
             out[tool] = data
         except Exception as e:  # noqa: BLE001
             print(f"[profile] {tool} failed: {e}")
-
-    for tool, data in out.items():
+            continue
         p = trace_dir / f"{tool}.out"
         if isinstance(data, bytes):
             p.write_bytes(data)
         else:
             p.write_text(data if isinstance(data, str) else json.dumps(data))
-        print(f"[profile] wrote {p}")
+        print(f"[profile] wrote {p}", flush=True)
 
     _summarize(out)
     print(f"[profile] sps={sps/1e6:.2f}M analytic_tflops={flops/1e12:.2f}")
