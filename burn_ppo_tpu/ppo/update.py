@@ -283,7 +283,27 @@ def ppo_update(
         )[:, None]
     )
     parts.extend(data[f].astype(jnp.float32)[:, None] for f in scalar_fields)
-    packed = jnp.concatenate(parts, axis=1)  # [N, C]
+    packed = jnp.concatenate(parts, axis=1)  # [N, C_real]
+    C_real = packed.shape[1]
+    # Lane-align the packed rows to the TPU's (8, 128) tile: with an
+    # unaligned C (skull-CTDE: 374) the [N, C] <-> [blocks, R*C] <->
+    # [nmb, mb, C] reshapes around each epoch's shuffle gather all have
+    # different minor-dim tile padding, so XLA materializes every one as
+    # a real copy — measured 265ms/trace of 'data formatting' at 600
+    # GiB/s, ~13% of flagship device time (r5 hlo_stats). Zero columns
+    # after the valid flag change no semantics (unpack reads by offset,
+    # reductions are valid-weighted).
+    # Only when the padding itself is cheap (<= 12.5% extra bytes):
+    # every padded byte rides the shuffle gather too, and that costs
+    # more than the reshape saving below ~90% occupancy — measured on
+    # v5e: skull C=374->384 (+2.7%) gains 1.9% sps, connect-four
+    # C=100->128 (+28%) LOSES 3.5%, cartpole C=13->128 would be 10x.
+    pad_c = (-C_real) % 128
+    if pad_c and pad_c * 8 <= C_real:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], pad_c), packed.dtype)],
+            axis=1,
+        )
     C = packed.shape[1]
 
     def unpack(mb2d: jax.Array) -> Dict[str, jax.Array]:
@@ -325,8 +345,9 @@ def ppo_update(
         params, opt_state, stop, sums, count = carry
         skip_now = stop
         if can_be_all_pad:
-            # valid flag is the last packed column.
-            skip_now = stop | (jnp.sum(mb2d[:, -1]) <= 0.0)
+            # valid flag is the last REAL packed column (lane-align pad
+            # columns may follow it).
+            skip_now = stop | (jnp.sum(mb2d[:, C_real - 1]) <= 0.0)
 
         def run(operand):
             params, opt_state, sums, count = operand
@@ -372,7 +393,7 @@ def ppo_update(
         # action masks / observations stay well-formed.  (mb_size / pad
         # themselves are computed above mb_body, which also guards the
         # pad >= mb_size all-pad-minibatch case.)
-        pad_rows = packed[:pad].at[:, -1].set(0.0)
+        pad_rows = packed[:pad].at[:, C_real - 1].set(0.0)
         packed = jnp.concatenate([packed, pad_rows], axis=0)
     R = resolve_shuffle_block(nmb * mb_size, mb_size, cfg.shuffle_block_rows)
     num_blocks = (nmb * mb_size) // R

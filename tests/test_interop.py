@@ -282,3 +282,56 @@ def test_import_rejects_shape_mismatch(tmp_path):
     _write_reference_ckpt(tmp_path, "Mlp", record, meta)
     with pytest.raises(ValueError, match="shape"):
         load_reference_checkpoint(tmp_path)
+
+
+def test_leaf_tensor_int_array_encoded_bytes():
+    """rmp-serde without serde_bytes encodes Vec<u8> as a msgpack int
+    array; the leaf decoder must reinterpret a byte-valued numeric list
+    whose count is itemsize * prod(shape) as raw little-endian bytes
+    (ADVICE r4)."""
+    import numpy as np
+
+    from burn_ppo_tpu.interop import _leaf_tensor
+
+    want = np.arange(6, dtype=np.float32).reshape(2, 3)
+    as_ints = list(want.tobytes())
+    got = _leaf_tensor({"shape": [2, 3], "dtype": "F32", "value": as_ints})
+    np.testing.assert_array_equal(got, want)
+
+
+def test_leaf_tensor_count_mismatch_raises():
+    """A leaf whose element count matches neither the shape nor a
+    byte-encoded shape must fail loudly, never misload."""
+    import numpy as np
+    import pytest
+
+    from burn_ppo_tpu.interop import _leaf_tensor
+
+    with pytest.raises(ValueError, match="element count"):
+        _leaf_tensor({"shape": [2, 3], "dtype": "F32",
+                      "value": [1.0] * 7})
+
+
+def test_leaf_tensor_plain_value_list_still_decodes():
+    import numpy as np
+
+    from burn_ppo_tpu.interop import _leaf_tensor
+
+    got = _leaf_tensor({"shape": [4], "dtype": "F32",
+                        "value": [1.5, -2.0, 0.0, 3.25]})
+    np.testing.assert_array_equal(got, np.asarray([1.5, -2.0, 0.0, 3.25],
+                                                  np.float32))
+
+
+def test_leaf_tensor_byte_valued_floats_not_reinterpreted():
+    """A genuine f32 list that happens to hold small integers with the
+    right count must NOT be reinterpreted: count == prod(shape) takes
+    the plain-value path."""
+    import numpy as np
+
+    from burn_ppo_tpu.interop import _leaf_tensor
+
+    want = np.asarray([0.0, 1.0, 2.0, 255.0], np.float32)
+    got = _leaf_tensor({"shape": [4], "dtype": "F32",
+                        "value": [0, 1, 2, 255]})
+    np.testing.assert_array_equal(got, want)
